@@ -1,0 +1,208 @@
+"""The flagship KG-construction pipeline (SURVEY.md §3.4).
+
+    read_parquet(pages) → extract (E) → split (S) → detect (N, actor
+    pool) → [explode → mentions] / [triples (T) → link (L)] →
+    canonicalize (C, combiner + groupby) → edges (G, combiner +
+    groupby + sort('subj_id')) → write_parquet
+
+Narrow stages are all ``map_batches`` over Arrow batches; the only
+shuffles are the two final groupbys over combiner-reduced partials and
+the one global sort of the edge table (SURVEY.md §4.2 skew notes on
+why combiners defuse the Zipf head).
+
+Two run modes:
+
+* ``kg_datasets(pages_ds)``: pure streaming lazy composition — used by
+  queries, tests and single-pass benches.
+* ``run_partitioned(...)``: the resumable job — input files grouped
+  into partitions, each processed to per-partition triples/mentions
+  parquet with a lineage manifest (state/checkpoint.py); the wide
+  phase (entities/edges) then runs over all partition outputs. A
+  killed run re-runs only partitions without manifests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..gazetteers import default_gazetteers
+from ..stages.detect import MentionDetector, explode_mentions_batch
+from ..stages.extract import extract_text_batch
+from ..stages.graph import (
+    edge_partials_batch,
+    entity_partials_batch,
+    link_triples_batch,
+    reduce_edge_group,
+    reduce_entity_group,
+)
+from ..stages.split import split_sentences_batch
+from ..stages.triples import triples_batch
+from ..state.checkpoint import CheckpointStore, PartitionManifest, plan_partitions, timed
+
+PAGES_COLUMNS = ["url", "html", "lang"]  # prune at the read: no warc_ts/text
+
+
+def read_pages(paths: str | list[str]) -> rd.Dataset:
+    return rd.read_parquet(paths, columns=PAGES_COLUMNS)
+
+
+def sentences_dataset(
+    pages: rd.Dataset,
+    detect_concurrency: int | tuple[int, int] | None = None,
+    detect_batch_size: int = 256,
+) -> rd.Dataset:
+    """pages → nested sentence-mention rows (the narrow spine)."""
+    gz_ref = ray.put(default_gazetteers())
+    return (
+        pages.map_batches(extract_text_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(split_sentences_batch, batch_format="pyarrow")
+        .map_batches(
+            MentionDetector,
+            batch_format="pyarrow",
+            batch_size=detect_batch_size,
+            concurrency=detect_concurrency or (1, 8),
+            fn_constructor_kwargs={"gazetteers_ref": gz_ref},
+        )
+    )
+
+
+def mentions_dataset(sent_mentions: rd.Dataset) -> rd.Dataset:
+    return sent_mentions.map_batches(explode_mentions_batch, batch_format="pyarrow")
+
+
+def linked_triples_dataset(sent_mentions: rd.Dataset) -> rd.Dataset:
+    return sent_mentions.map_batches(triples_batch, batch_format="pyarrow").map_batches(
+        link_triples_batch, batch_format="pyarrow"
+    )
+
+
+def entities_dataset(linked: rd.Dataset) -> rd.Dataset:
+    return (
+        linked.map_batches(entity_partials_batch, batch_format="pyarrow")
+        .groupby("entity_id")
+        .map_groups(reduce_entity_group, batch_format="pandas")
+    )
+
+
+def edges_dataset(linked: rd.Dataset) -> rd.Dataset:
+    return (
+        linked.map_batches(edge_partials_batch, batch_format="pyarrow")
+        .groupby(["subj_id", "pred", "obj_id"])
+        .map_groups(reduce_edge_group, batch_format="pandas")
+        .sort("subj_id")
+    )
+
+
+def kg_datasets(
+    pages: rd.Dataset,
+    detect_concurrency: int | tuple[int, int] | None = None,
+    detect_batch_size: int = 256,
+) -> dict[str, rd.Dataset]:
+    """Lazy composition of every stage output. NOTE: consuming more
+    than one of these executes the shared narrow spine once per
+    consumer — for multi-output runs use ``run_partitioned`` (which
+    checkpoints the spine) or consume just one."""
+    sm = sentences_dataset(pages, detect_concurrency, detect_batch_size)
+    linked = linked_triples_dataset(sm)
+    return {
+        "sentence_mentions": sm,
+        "mentions": mentions_dataset(sm),
+        "triples": linked,
+        "entities": entities_dataset(linked),
+        "edges": edges_dataset(linked),
+    }
+
+
+# --------------------------------------------------------------------------
+# resumable partitioned run
+# --------------------------------------------------------------------------
+
+
+def run_partitioned(
+    input_files: list[str],
+    ckpt_dir: str,
+    out_dir: str | None = None,
+    num_partitions: int = 4,
+    detect_concurrency: int | tuple[int, int] | None = None,
+    detect_batch_size: int = 256,
+    write_mentions: bool = True,
+) -> dict:
+    """Resumable KG job. Phase 1 (narrow, per partition): pages files →
+    linked triples (+ flat mentions) parquet under ``ckpt_dir`` with a
+    lineage manifest per partition; already-complete partitions are
+    SKIPPED. Phase 2 (wide, over all partition outputs): entities +
+    edges, edges globally sorted by subj_id, written under ``out_dir``
+    (defaults to ``ckpt_dir/out``).
+
+    Returns {'skipped': [...], 'ran': [...], 'entities': n, 'edges': n,
+    'out_dir': ...}.
+    """
+    store = CheckpointStore(ckpt_dir)
+    parts = plan_partitions(input_files, num_partitions)
+    ran, skipped = [], []
+    for pid, files in enumerate(parts):
+        if store.is_complete(pid):
+            skipped.append(pid)
+            continue
+        t0 = timed()
+        for stage in ("triples", "mentions"):
+            store.clean_incomplete(stage, pid)
+        sm = sentences_dataset(read_pages(files), detect_concurrency, detect_batch_size)
+        rows: dict[str, int] = {}
+        if write_mentions:
+            # two consumers of the spine within one partition: checkpoint
+            # the nested sentence-mentions once, then derive both outputs
+            sm_dir = store.tmp_stage_dir("sm", pid)
+            sm.write_parquet(sm_dir)
+            sm = rd.read_parquet(sm_dir)
+            mentions = mentions_dataset(sm)
+            mentions.write_parquet(store.tmp_stage_dir("mentions", pid))
+            store.commit_stage_dir("mentions", pid)
+        linked = linked_triples_dataset(sm)
+        linked.write_parquet(store.tmp_stage_dir("triples", pid))
+        store.commit_stage_dir("triples", pid)
+        if write_mentions:
+            import shutil
+
+            shutil.rmtree(store.tmp_stage_dir("sm", pid), ignore_errors=True)
+        store.write_manifest(
+            PartitionManifest(
+                partition=pid,
+                input_files=files,
+                rows=rows,
+                wall_sec=timed() - t0,
+            )
+        )
+        ran.append(pid)
+
+    # ---- phase 2: wide aggregates over all completed partitions --------
+    # Re-run on every invocation (cheap relative to phase 1); written
+    # via tmp-dir + atomic rename so a rerun REPLACES rather than
+    # accumulates part files.
+    import shutil
+
+    triples = rd.read_parquet(store.completed_stage_files("triples"))
+    out_dir = out_dir or os.path.join(ckpt_dir, "out")
+    entities = entities_dataset(triples)
+    edges = edges_dataset(triples)
+    for name, ds in (("entities", entities), ("edges", edges)):
+        final = os.path.join(out_dir, name)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+    n_entities = rd.read_parquet(os.path.join(out_dir, "entities")).count()
+    n_edges = rd.read_parquet(os.path.join(out_dir, "edges")).count()
+    return {
+        "skipped": skipped,
+        "ran": ran,
+        "entities": n_entities,
+        "edges": n_edges,
+        "out_dir": out_dir,
+    }

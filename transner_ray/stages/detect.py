@@ -1,0 +1,109 @@
+"""Stage N — mention detection (the model stage) as an ACTOR POOL.
+
+The reference loads its BERT model once per process and runs the whole
+request as one predict batch (ner.py:97-107,187). Here the stage is a
+callable class for ``map_batches(MentionDetector, concurrency=N,
+batch_size=B)``: tagger + gazetteer state is built ONCE per actor in
+``__init__`` (broadcast via ``ray.put`` ObjectRef — shipped per node,
+not per batch), and ``__call__`` processes an Arrow batch of sentence
+rows. The sliding window over >150-word sentences (api.py:27) runs
+inside ``detect_mentions`` so window fan-out never inflates rows in the
+object store.
+
+Output keeps mentions NESTED per sentence (SENTENCE_MENTIONS) —
+exploded once by ``explode_mentions_batch`` right before the flat
+mentions table is needed.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+from ..gazetteers import Gazetteers, default_gazetteers
+from ..kg import detect_mentions
+from ..ner_core import SERVICE_THRESHOLD
+from ..schemas import MENTIONS, SENTENCE_MENTIONS
+from ..tagger import RuleTagger
+
+
+class MentionDetector:
+    def __init__(
+        self,
+        gazetteers_ref=None,
+        threshold: float = SERVICE_THRESHOLD,
+        apply_regex: bool = True,
+        apply_gazetteers: bool = True,
+    ):
+        if gazetteers_ref is not None:
+            gz: Gazetteers = ray.get(gazetteers_ref)
+        else:
+            gz = default_gazetteers()
+        self.gz = gz
+        self.tagger = RuleTagger(gz)  # swap for BertTagger on GPU clusters
+        self.threshold = threshold
+        self.apply_regex = apply_regex
+        self.apply_gazetteers = apply_gazetteers
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mention_lists = [
+            detect_mentions(
+                s,
+                self.tagger,
+                self.gz,
+                self.threshold,
+                self.apply_regex,
+                self.apply_gazetteers,
+            )
+            for s in batch.column("sentence").to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "sent_idx": batch.column("sent_idx"),
+                "sentence": batch.column("sentence"),
+                "char_start": batch.column("char_start"),
+                "lang": batch.column("lang"),
+                "mentions": pa.array(
+                    mention_lists, type=SENTENCE_MENTIONS.field("mentions").type
+                ),
+            },
+            schema=SENTENCE_MENTIONS,
+        )
+
+
+def explode_mentions_batch(batch: pa.Table) -> pa.Table:
+    """SENTENCE_MENTIONS → flat MENTIONS rows (explode once)."""
+    urls, sent_idx, midx = [], [], []
+    types, values, offsets, doc_offsets, confs, dets = [], [], [], [], [], []
+    for url, si, cs, mentions in zip(
+        batch.column("url").to_pylist(),
+        batch.column("sent_idx").to_pylist(),
+        batch.column("char_start").to_pylist(),
+        batch.column("mentions").to_pylist(),
+    ):
+        for i, m in enumerate(mentions):
+            urls.append(url)
+            sent_idx.append(si)
+            midx.append(i)
+            types.append(m["type"])
+            values.append(m["value"])
+            offsets.append(m["offset"])
+            doc_offsets.append(cs + m["offset"])
+            confs.append(m["confidence"])
+            dets.append(m["detector"])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "sent_idx": pa.array(sent_idx, pa.int32()),
+            "mention_idx": pa.array(midx, pa.int32()),
+            "type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.string()),
+            "offset": pa.array(offsets, pa.int64()),
+            "doc_offset": pa.array(doc_offsets, pa.int64()),
+            "confidence": pa.array(confs, pa.float64()),
+            "detector": pa.array(dets, pa.string()),
+        },
+        schema=MENTIONS,
+    )

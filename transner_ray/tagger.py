@@ -1,0 +1,140 @@
+"""Tagger interface: the "model" of the mention-detection stage.
+
+The reference's model stage is a BERT BIO token-classifier invoked
+through simpletransformers (``model.predict(processed_strings)`` at
+ner.py:187, config ner.py:97-107) returning, per sentence, a list of
+one-key ``{word: label}`` dicts aligned with the whitespace words of the
+processed sentence, plus per-word confidence scores (softmax max,
+ner.py:188-195).
+
+We keep exactly that contract — ``tag(processed) -> (list[(word,
+label)], list[score])`` — behind an interface so that:
+
+* ``RuleTagger`` is the deterministic CI/test implementation (this
+  sandbox has no torch): greedy longest phrase matching against a fixed
+  registry, with deterministic pseudo-confidences. The oracle and the
+  Ray pipeline share the SAME tagger, so mention equality is exact.
+* ``BertTagger`` is the production actor-pool implementation: loads HF
+  weights once per actor, batches the forward pass, and performs the
+  wordpiece→token realignment explicitly (fast tokenizer with
+  ``return_offsets_mapping=True``, label of the first subtoken per
+  word — the realignment simpletransformers does internally). Stubbed
+  behind an import guard here.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Protocol
+
+from .gazetteers import Gazetteers, default_gazetteers
+
+WordLabel = tuple[str, str]
+
+
+class Tagger(Protocol):
+    def tag(self, processed: str) -> tuple[list[WordLabel], list[float]]: ...
+
+
+def _word_score(word: str) -> float:
+    """Deterministic pseudo-confidence in [0.78, 0.96), with ~4% of
+    words dropped to 0.60 to exercise the 0.75 threshold filter
+    (api.py:121) through the mean-confidence path (ner.py:403)."""
+    h = zlib.crc32(word.encode("utf-8"))
+    if h % 23 == 0:
+        return 0.60
+    return 0.78 + (h % 1800) / 10000.0
+
+
+class RuleTagger:
+    """Deterministic BIO tagger over the PROCESSED (lowercased,
+    punctuation-separated) sentence.
+
+    Greedy longest-match against the phrase registry; an ``è`` token
+    directly following an open PERSON span is tagged ``I-PER`` to
+    reproduce the reference's "mario è" artifact that the decoder strips
+    (ner.py:405-407). A single-word MISC phrase whose crc32 % 5 == 0 is
+    emitted as an orphan ``I-MISC`` (no ``B-``) to exercise the
+    orphan-I decode path (ner.py:417-422).
+    """
+
+    def __init__(self, gazetteers: Gazetteers | None = None):
+        gz = gazetteers or default_gazetteers()
+        self.phrases = gz.phrases
+        self.max_len = gz.max_phrase_len
+
+    def tag(self, processed: str) -> tuple[list[WordLabel], list[float]]:
+        words = processed.split()
+        n = len(words)
+        labels = ["O"] * n
+        i = 0
+        while i < n:
+            matched = 0
+            mtype = None
+            top = min(self.max_len, n - i)
+            for length in range(top, 0, -1):
+                key = tuple(words[i : i + length])
+                t = self.phrases.get(key)
+                if t is not None:
+                    matched, mtype = length, t
+                    break
+            if matched:
+                if (
+                    matched == 1
+                    and mtype == "MISC"
+                    and zlib.crc32(words[i].encode()) % 5 == 0
+                ):
+                    labels[i] = "I-MISC"  # orphan-I decode path
+                else:
+                    labels[i] = "B-" + mtype
+                    for k in range(1, matched):
+                        labels[i + k] = "I-" + mtype
+                i += matched
+                # 'è' glued to a PERSON span → I-PER (the ' è' artifact)
+                if mtype == "PER" and i < n and words[i] == "è":
+                    labels[i] = "I-PER"
+                    i += 1
+            else:
+                i += 1
+        scores = [_word_score(w) for w in words]
+        return list(zip(words, labels)), scores
+
+
+class BertTagger:
+    """Production BERT tagger (actor-pool stage state). Mirrors the
+    reference model config (ner.py:97-115): max_seq_length=512, 13 BIO
+    labels (ner.py:24-38), optional CPU dynamic-int8 quantization
+    (fbgemm over torch.nn.Linear, ner.py:109-115).
+
+    Wordpiece→token realignment (done inside simpletransformers in the
+    reference) is explicit here: tokenize the whitespace words with
+    ``is_split_into_words=True``, take the argmax label and softmax-max
+    score of the FIRST subtoken of each word.
+
+    torch/transformers are not installed in this sandbox, so
+    construction raises ``NotImplementedError`` with the exact plumbing
+    documented; the Ray-side stage (stages/ner.py) is tagger-agnostic
+    and fully tested through ``RuleTagger``.
+    """
+
+    def __init__(
+        self,
+        model_path: str,
+        quantization: bool = False,
+        max_seq_length: int = 512,
+    ):
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - sandbox has no torch
+            raise NotImplementedError(
+                "BertTagger needs torch+transformers (not available in this "
+                "sandbox). Plumbing: AutoModelForTokenClassification loaded "
+                "once per actor in __init__; __call__ tokenizes the batch "
+                "with a fast tokenizer (is_split_into_words=True, "
+                f"max_length={max_seq_length}, truncation), runs one batched "
+                "forward, realigns wordpieces to words by first-subtoken, "
+                "and emits (word,label) pairs + softmax-max scores in the "
+                "same contract as RuleTagger.tag. Use RuleTagger instead."
+            ) from exc
+        raise NotImplementedError("weights loading not wired in this sandbox")
