@@ -1,44 +1,129 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on a deterministic synthetic
+pages corpus (BASELINE.json input_hint shape) derived from seed 42;
+``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 as a callable over ``sf_dir``; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL where the op is SQL-expressible (KG pipeline
+stages over synthetic pages and the sketch-based dedup ops are
+rows-only by design — their correctness gate is the pytest oracle
+suite instead).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() anywhere in these callables.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+# docs per sf for the synthetic KG corpus (deterministic, cached in /tmp)
+_KG_DOCS = {"sf0.001": 150, "sf0.01": 1000, "sf0.1": 8000}
+_KG_SEED = 42
+
+
+def _kg_pages_paths(sf_dir: str) -> list[str]:
+    from transner_ray import synth
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    n_docs = _KG_DOCS.get(tag, 150)
+    out = f"/tmp/transner_ray_pages/{tag}_seed{_KG_SEED}_{n_docs}"
+    return synth.write_pages(out, seed=_KG_SEED, n_docs=n_docs, num_shards=8)
+
+
+def _kg(sf_dir: str):
+    from transner_ray.pipelines import kg
+
+    return kg.kg_datasets(kg.read_pages(_kg_pages_paths(sf_dir)), detect_concurrency=(1, 4))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic pages @ sf0.001 scale → KG edges (sorted)."""
+    from transner_ray.pipelines import kg
+
+    pages = kg.read_pages(_kg_pages_paths("/root/testdata/sf0.001"))
+    return kg.edges_dataset(
+        kg.linked_triples_dataset(kg.sentences_dataset(pages, detect_concurrency=(1, 4)))
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from transner_ray.ops import dedup, multimodal, relational, similarity, textstats
+    from transner_ray.pipelines import kg
+    from transner_ray.synth import pages_from_documents
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_extract(sf_dir: str):
+        import ray.data as rd
+
+        from transner_ray.stages.extract import extract_text_batch
+
+        pages = rd.from_arrow(pages_from_documents(sf_dir)).drop_columns(["warc_ts", "text"])
+        return pages.map_batches(extract_text_batch, batch_format="pyarrow")
+
+    return {
+        # ---- relational operator suite (SQL-checked) ----
+        "lineitem_pricing": relational.lineitem_pricing,
+        "high_quantity_items": relational.high_quantity_items,
+        "top_orders": relational.top_orders,
+        "customers_per_region": relational.customers_per_region,
+        "segment_revenue": relational.segment_revenue,
+        "first_event_per_user_type": relational.first_event_per_user_type,
+        "events_hourly": relational.events_hourly,
+        "distinct_flag_status": relational.distinct_flag_status,
+        "union_lower_count": relational.union_lower_count,
+        "brand_stats": relational.brand_stats,
+        # ---- text analysis (SQL-checked) ----
+        "token_counts": textstats.token_counts,
+        "quality_signals": textstats.quality_signals,
+        "fingerprints": textstats.fingerprints,
+        "language_guess": textstats.language_guess,
+        # ---- dedup suite ----
+        "exact_dedup": dedup.exact_dedup,                 # SQL-checked
+        "minhash_dedup": dedup.minhash_dedup,             # rows-only (sketch)
+        "simhash_dedup": dedup.simhash_dedup,             # rows-only (sketch)
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup, # rows-only (sketch)
+        "embedding_neardup": dedup.embedding_neardup,     # rows-only (LSH)
+        # ---- similarity search ----
+        "ann_brute_force": similarity.brute_force_topk,   # SQL-checked
+        "ann_ivf": similarity.ivf_topk,                   # rows-only (approximate)
+        # ---- multimodal plumbing (SQL-checked metadata) ----
+        "media_metadata": multimodal.media_metadata,
+        # ---- KG pipeline stages (pytest-oracle-gated; extract is SQL-checked) ----
+        "kg_extract_text": kg_extract,
+        "kg_sentences": lambda sf: _kg(sf)["sentence_mentions"].drop_columns(["mentions"]),
+        "kg_mentions": lambda sf: _kg(sf)["mentions"],
+        "kg_triples": lambda sf: _kg(sf)["triples"],
+        "kg_entities": lambda sf: _kg(sf)["entities"],
+        "kg_edges": lambda sf: _kg(sf)["edges"],
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from transner_ray.ops import dedup, multimodal, relational, similarity, textstats
+
+    return {
+        "lineitem_pricing": relational.LINEITEM_PRICING_SQL,
+        "high_quantity_items": relational.HIGH_QUANTITY_ITEMS_SQL,
+        "top_orders": relational.TOP_ORDERS_SQL,
+        "customers_per_region": relational.CUSTOMERS_PER_REGION_SQL,
+        "segment_revenue": relational.SEGMENT_REVENUE_SQL,
+        "first_event_per_user_type": relational.FIRST_EVENT_SQL,
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "distinct_flag_status": relational.DISTINCT_FLAG_STATUS_SQL,
+        "union_lower_count": relational.UNION_LOWER_COUNT_SQL,
+        "brand_stats": relational.BRAND_STATS_SQL,
+        "token_counts": textstats.TOKEN_COUNTS_SQL,
+        "quality_signals": textstats.QUALITY_SIGNALS_SQL,
+        "fingerprints": textstats.FINGERPRINTS_SQL,
+        "language_guess": textstats.LANGUAGE_GUESS_SQL,
+        "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "ann_brute_force": similarity.brute_force_topk_sql(),
+        "media_metadata": multimodal.MEDIA_METADATA_SQL,
+        "kg_extract_text": """
+            SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   text, lang
+            FROM documents
+        """,
+    }

@@ -1,0 +1,201 @@
+"""Ops-layer tests: SQL-checked representatives vs DuckDB at sf0.001,
+plus semantic tests for the sketch-based ops (planted near-duplicates,
+ANN recall, multimodal plumbing) that have no SQL oracle."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype("int64")
+        if pd.api.types.is_float_dtype(df[c].dtype):
+            df[c] = df[c].astype("float64").round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _check(fn, sql, con):
+    got = fn(SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    got = _norm(got)
+    want = _norm(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+
+
+def test_lineitem_pricing_vs_duckdb(con):
+    from transner_ray.ops import relational
+
+    _check(relational.lineitem_pricing, relational.LINEITEM_PRICING_SQL, con)
+
+
+def test_broadcast_join_vs_duckdb(con):
+    from transner_ray.ops import relational
+
+    _check(relational.customers_per_region, relational.CUSTOMERS_PER_REGION_SQL, con)
+
+
+def test_events_hourly_vs_duckdb(con):
+    from transner_ray.ops import relational
+
+    _check(relational.events_hourly, relational.EVENTS_HOURLY_SQL, con)
+
+
+def test_exact_dedup_vs_duckdb(con):
+    from transner_ray.ops import dedup
+
+    _check(dedup.exact_dedup, dedup.EXACT_DEDUP_SQL, con)
+
+
+def test_ann_brute_force_vs_duckdb(con):
+    from transner_ray.ops import similarity
+
+    _check(similarity.brute_force_topk, similarity.brute_force_topk_sql(), con)
+
+
+def test_media_metadata_vs_duckdb(con):
+    from transner_ray.ops import multimodal
+
+    _check(multimodal.media_metadata, multimodal.MEDIA_METADATA_SQL, con)
+
+
+# ------------------------------------------------- planted near-dups
+
+@pytest.fixture(scope="module")
+def planted(tmp_path_factory):
+    """A corpus with known near-duplicate pairs: (0,1) word-edit dup,
+    (2,3) identical, (4,5) char-level edit, 6..15 unrelated."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain falls on "
+        "the quiet town and the river runs to the sea past the old mill"
+    )
+    texts = {
+        0: base,
+        1: base.replace("quiet", "sleepy"),
+        2: "identical content here for exact duplicate detection",
+        3: "identical content here for exact duplicate detection",
+        4: "abcdefghijklmnopqrstuvwxyz " * 6,
+        5: ("abcdefghijklmnopqrstuvwxyz " * 6)[:-10] + "abcdEFGhij",
+    }
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta", "theta"]
+    for i in range(6, 16):
+        texts[i] = " ".join(vocab[j] for j in rng.integers(0, len(vocab), 30)) + f" uniq{i}"
+    d = tmp_path_factory.mktemp("planted")
+    path = str(d / "documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        ),
+        path,
+    )
+    return str(d)
+
+
+def test_minhash_finds_planted_pairs(planted):
+    from transner_ray.ops import dedup
+
+    pairs = dedup.minhash_dedup(planted, jaccard_threshold=0.5).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in found and (2, 3) in found
+    # unrelated docs don't pair with the planted dups
+    assert not any(a >= 6 or b >= 6 for a, b in found)
+
+
+def test_simhash_finds_planted_pairs(planted):
+    from transner_ray.ops import dedup
+
+    pairs = dedup.simhash_dedup(planted, max_hamming=6).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (2, 3) in found  # identical -> hamming 0
+    assert (0, 1) in found  # one-word edit -> tiny hamming
+
+
+def test_ngram_jaccard_finds_char_edit(planted):
+    from transner_ray.ops import dedup
+
+    pairs = dedup.ngram_jaccard_dedup(planted, jaccard_threshold=0.6).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (4, 5) in found and (2, 3) in found
+
+
+def test_embedding_neardup_finds_planted(tmp_path):
+    from transner_ray.ops import dedup
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs[1] = vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup pair (0,1)
+    vecs[3] = vecs[2]  # exact dup pair (2,3)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    pairs = dedup.embedding_neardup(str(tmp_path), cos_threshold=0.95).to_pandas()
+    found = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (0, 1) in found and (2, 3) in found
+
+
+def test_ann_ivf_recall():
+    from transner_ray.ops import similarity
+
+    exact = set(similarity.brute_force_topk(SF, k=10)["vec_id"])
+    approx = set(similarity.ivf_topk(SF, k=10)["vec_id"])
+    assert len(exact & approx) / 10 >= 0.6  # documented recall tradeoff
+
+
+def test_multimodal_roundtrip_and_resize():
+    from transner_ray.ops import multimodal
+
+    blob = multimodal.encode_fake_media(320, 240, b"x" * 100)
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([blob], pa.binary()),
+        }
+    )
+    dec = multimodal.MediaDecoder()(t)
+    assert dec.column("width")[0].as_py() == 320
+    assert dec.column("n_bytes")[0].as_py() == len(blob)
+    resized = multimodal.Resizer()(t)
+    dec2 = multimodal.MediaDecoder()(resized)
+    assert dec2.column("width")[0].as_py() == 160
+    assert dec2.column("height")[0].as_py() == 120
+
+
+def test_real_decoder_is_gated():
+    from transner_ray.ops import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.RealImageDecoder()

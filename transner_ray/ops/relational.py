@@ -1,0 +1,356 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each function takes ``sf_dir`` and returns a Ray ``Dataset`` (or small
+pandas result). These are the engine's generic operator demonstrations
+(SURVEY.md §2.2/2.4/2.5/2.6 Ray Data mappings): vectorized
+``map_batches`` filters/projections, BROADCAST small-side joins
+(ray.put + per-batch pandas merge — never a shuffle for a dimension
+table), combiner pre-aggregation before every ``groupby`` (shuffle
+volume = distinct keys × blocks, not rows), range-partitioned sorts,
+and first-wins dedup.
+
+Floating-point policy: every SUM/AVG of doubles is rounded (4 decimals)
+in BOTH the Ray implementation and the oracle SQL, so distributed
+summation order cannot flip the value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ------------------------------------------------------------------ Q1-ish
+
+def lineitem_pricing(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: filter on shipdate, grouped sums/means/counts.
+    Pre-aggregated per batch (partial sums) before the small groupby."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-01"), type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc_price)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg_qty = pc.round(pc.divide(t["sum_qty"], pc.cast(t["n"], pa.float64())), 4)
+        t = t.set_column(t.schema.get_field_index("sum_qty"), "sum_qty", pc.round(t["sum_qty"], 4))
+        t = t.set_column(
+            t.schema.get_field_index("sum_base_price"),
+            "sum_base_price",
+            pc.round(t["sum_base_price"], 4),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("sum_disc_price"),
+            "sum_disc_price",
+            pc.round(t["sum_disc_price"], 4),
+        )
+        return t.append_column("avg_qty", avg_qty)
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(["l_returnflag", "l_linestatus"])
+
+
+LINEITEM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS n,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------- filter + projection
+
+def high_quantity_items(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], pa.scalar(45.0))),
+        batch_format="pyarrow",
+    )
+
+
+HIGH_QUANTITY_ITEMS_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+# ------------------------------------------------------- sort + limit
+
+def top_orders(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+# ------------------------------------------- broadcast dimension join
+
+def customers_per_region(sf_dir: str) -> rd.Dataset:
+    """customer ⋈ nation ⋈ region with the two dimension tables
+    BROADCAST (ray.put once, merged per batch) — the J1 pattern."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    dim_ref = ray.put(dim)
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        j = df.merge(d, left_on="c_nationkey", right_on="n_nationkey")
+        g = j.groupby("r_name", as_index=False).agg(
+            n_customers=("c_custkey", "size"), sum_acctbal=("c_acctbal", "sum")
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(join_batch, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("sum_acctbal", alias_name="sum_acctbal"),
+        )
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_acctbal"), "sum_acctbal", pc.round(t["sum_acctbal"], 4)
+        ),
+        batch_format="pyarrow",
+    ).sort("r_name")
+
+
+CUSTOMERS_PER_REGION_SQL = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ------------------------------------------- fact ⋈ dim + aggregate
+
+def segment_revenue(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer(mktsegment) broadcast, revenue per segment."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(cust)
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cust_ref)
+        j = df.merge(c, left_on="o_custkey", right_on="c_custkey")
+        return j.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(join_batch, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"), "revenue", pc.round(t["revenue"], 4)
+        ),
+        batch_format="pyarrow",
+    ).sort("c_mktsegment")
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# -------------------------------------------------- first-wins dedup
+
+def first_event_per_user_type(sf_dir: str) -> rd.Dataset:
+    """Exact dedup, first-wins (reference parser.py:90-99 pattern):
+    keep the smallest event_id per (user_id, event_type)."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False).agg(
+            first_event_id=("event_id", "min"), n=("event_id", "size")
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("first_event_id", alias_name="first_event_id"), Sum("n", alias_name="n"))
+        .sort(["user_id", "event_type"])
+    )
+
+
+FIRST_EVENT_SQL = """
+SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n
+FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+
+# ------------------------------------------------ tumbling window agg
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1h window per event_type (streaming-shaped workload as
+    a batch groupby on the truncated timestamp)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.floor("h")
+        return df.groupby(["hour", "event_type"], as_index=False).agg(
+            n=("event_id", "size"), sum_value=("value", "sum")
+        )
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)
+        ),
+        batch_format="pyarrow",
+    ).sort(["hour", "event_type"])
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# --------------------------------------------------------- distinct
+
+def distinct_flag_status(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+DISTINCT_FLAG_STATUS_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------- union + augmentation
+
+def union_lower_count(sf_dir: str) -> pd.DataFrame:
+    """R5: dataset union'd with its lowercased copy (the reference's
+    lowercase augmentation, wikiNER2CoNLL.py:22-25), then counted."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lowered = docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": pc.utf8_lower(t["text"])}),
+        batch_format="pyarrow",
+    )
+    n = docs.union(lowered).count()
+    return pd.DataFrame({"n_rows": [n]})
+
+
+UNION_LOWER_COUNT_SQL = """
+SELECT count(*) AS n_rows FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, lower(text) FROM documents
+)
+"""
+
+
+# --------------------------------------------------------- part stats
+
+def brand_stats(sf_dir: str) -> rd.Dataset:
+    """A1 corpus-stats analogue on `part` (count / mean / max per key)."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False).agg(
+            n=("p_partkey", "size"),
+            sum_price=("p_retailprice", "sum"),
+            max_size=("p_size", "max"),
+        )
+
+    out = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice", "p_size"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_price", alias_name="sum_price"),
+            Max("max_size", alias_name="max_size"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg_price = pc.round(pc.divide(t["sum_price"], pc.cast(t["n"], pa.float64())), 4)
+        t = t.drop_columns(["sum_price"])
+        return t.append_column("avg_price", avg_price)
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("p_brand")
+
+
+BRAND_STATS_SQL = """
+SELECT p_brand, count(*) AS n, max(p_size) AS max_size,
+       round(sum(p_retailprice) / count(*), 4) AS avg_price
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""

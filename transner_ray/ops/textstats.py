@@ -1,0 +1,154 @@
+"""Text-analysis operators over the `documents` table: token counting,
+quality signals, document fingerprinting, language-ID heuristic.
+
+All vectorized per batch (pandas str kernels / hashlib over bytes);
+stopword sets for the language heuristic are module constants compiled
+once per worker process.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..data.lexicon import STOPWORDS
+
+_TOKEN_RE = re.compile(r"\S+")
+_WORD_RE = re.compile(r"[a-z]+")
+
+
+def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ----------------------------------------------------------- token count
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_tokens": df["text"].str.count(r"\S+").astype("int64")}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents
+"""
+
+
+# ------------------------------------------------------- quality signals
+
+def quality_signals(sf_dir: str) -> rd.Dataset:
+    """Integer quality counters (lengths and char-class counts kept as
+    ints so the oracle comparison is exact; a downstream score would be
+    a weighted sum of these)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": text.str.len().astype("int64"),
+                "n_spaces": text.str.count(" ").astype("int64"),
+                "n_digits": text.str.count(r"[0-9]").astype("int64"),
+                "n_upper": text.str.count(r"[A-Z]").astype("int64"),
+                "n_punct": text.str.count(r"[.,;:!?]").astype("int64"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+QUALITY_SIGNALS_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+# --------------------------------------------------------- fingerprints
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    """Content fingerprint: md5 of the utf-8 text (exact; matches
+    DuckDB's md5()) plus a 64-bit FNV-1a rolling hash (the cheap
+    streaming fingerprint — no SQL equivalent, verified in pytest)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"], "text_md5": md5s})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+FINGERPRINTS_SQL = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+"""
+
+
+def fnv1a64(text: str) -> int:
+    """Deterministic 64-bit FNV-1a (pure Python, no randomized hash)."""
+    h = 0xCBF29CE484222325
+    for b in text.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+# ------------------------------------------------------ language heuristic
+
+def language_guess(sf_dir: str) -> rd.Dataset:
+    """n-gram/stopword language heuristic (stands in for the
+    reference's fasttext LID, ner.py:93-96,154-161): per doc, count
+    stopword hits per language; guess = argmax with fixed tie order
+    (en < it < nl alphabetically), 'und' when no hits."""
+    langs = sorted(STOPWORDS)  # deterministic tie order
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        guesses = []
+        for t in df["text"]:
+            words = _WORD_RE.findall(t.lower())
+            best_lang, best_hits = "und", 0
+            for lg in langs:
+                hits = sum(1 for w in words if w in STOPWORDS[lg])
+                if hits > best_hits:
+                    best_lang, best_hits = lg, hits
+            guesses.append(best_lang)
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_guess": guesses})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+    return (
+        f"length(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+        f"w -> w IN ({words})))"
+    )
+
+
+LANGUAGE_GUESS_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN greatest(en_h, it_h, nl_h) = 0 THEN 'und'
+    WHEN en_h >= it_h AND en_h >= nl_h THEN 'en'
+    WHEN it_h >= nl_h THEN 'it'
+    ELSE 'nl'
+  END AS lang_guess
+FROM (
+  SELECT doc_id,
+         {_sql_hits('en')} AS en_h,
+         {_sql_hits('it')} AS it_h,
+         {_sql_hits('nl')} AS nl_h
+  FROM documents
+)
+"""
