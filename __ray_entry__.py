@@ -33,10 +33,18 @@ def _kg_pages_paths(sf_dir: str) -> list[str]:
     return synth.write_pages(out, seed=_KG_SEED, n_docs=n_docs, num_shards=8)
 
 
-def _kg(sf_dir: str):
+def _kg_spine(sf_dir: str):
     from transner_ray.pipelines import kg
 
-    return kg.kg_datasets(kg.read_pages(_kg_pages_paths(sf_dir)), detect_concurrency=(1, 4))
+    return kg.sentences_dataset(
+        kg.read_pages(_kg_pages_paths(sf_dir)), detect_concurrency=(1, 4)
+    )
+
+
+def _kg_linked(sf_dir: str):
+    from transner_ray.pipelines import kg
+
+    return kg.linked_triples_dataset(_kg_spine(sf_dir))
 
 
 def entry() -> Any:
@@ -45,7 +53,8 @@ def entry() -> Any:
 
     pages = kg.read_pages(_kg_pages_paths("/root/testdata/sf0.001"))
     return kg.edges_dataset(
-        kg.linked_triples_dataset(kg.sentences_dataset(pages, detect_concurrency=(1, 4)))
+        kg.linked_triples_dataset(kg.sentences_dataset(pages, detect_concurrency=(1, 4))),
+        settle=True,
     )
 
 
@@ -92,11 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": multimodal.media_metadata,
         # ---- KG pipeline stages (pytest-oracle-gated; extract is SQL-checked) ----
         "kg_extract_text": kg_extract,
-        "kg_sentences": lambda sf: _kg(sf)["sentence_mentions"].drop_columns(["mentions"]),
-        "kg_mentions": lambda sf: _kg(sf)["mentions"],
-        "kg_triples": lambda sf: _kg(sf)["triples"],
-        "kg_entities": lambda sf: _kg(sf)["entities"],
-        "kg_edges": lambda sf: _kg(sf)["edges"],
+        "kg_sentences": lambda sf: _kg_spine(sf).drop_columns(["mentions"]),
+        "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
+        "kg_triples": _kg_linked,
+        "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),
+        "kg_edges": lambda sf: kg.edges_dataset(_kg_linked(sf), settle=True),
     }
 
 

@@ -1,0 +1,241 @@
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) under
+``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "triples_per_sec": ...}
+
+``--scaling``: runs the headline KG pipeline twice in FRESH processes
+at num_cpus=8 and num_cpus=32 on the same input (the sandbox proxy for
+the N-vs-4N cluster-size criterion) and prints throughputs + scaling
+efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+KG_SCRATCH = "/tmp/transner_ray_bench"
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _kg_paths():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    override = os.environ.get("GRAFT_KG_DOCS")
+    if override:
+        from transner_ray import synth
+
+        n = int(override)
+        return synth.write_pages(
+            f"/tmp/transner_ray_pages/scaling_seed42_{n}", seed=42, n_docs=n, num_shards=64
+        )
+    import __ray_entry__ as entrymod
+
+    return entrymod._kg_pages_paths(SF_DIR)
+
+
+def bench_kg() -> dict:
+    """Headline: full KG pipeline (pages → mentions → triples →
+    entities + edges written to parquet), timed in two phases."""
+    import ray.data as rd
+
+    from transner_ray.pipelines import kg
+
+    paths = _kg_paths()
+    # warm the page cache (untimed read)
+    for p in paths:
+        with open(p, "rb") as f:
+            f.read()
+    n_docs = rd.read_parquet(paths).count()
+
+    shutil.rmtree(KG_SCRATCH, ignore_errors=True)
+    t0 = time.perf_counter()
+    spine = kg.sentences_dataset(kg.read_pages(paths), detect_batch_size=256)
+    linked = kg.linked_triples_dataset(spine)
+    # Coalesce AFTER the heavy chain, via repartition — NOT via
+    # write_parquet(min_rows_per_file=...): that constraint fuses into
+    # the upstream operator and collapses the whole narrow phase into a
+    # handful of giant tasks (observed: ONE task for the full corpus).
+    # The wide phase re-reads this, so a few large files beat 100+ tiny
+    # read blocks feeding the shuffle.
+    linked.repartition(16).write_parquet(f"{KG_SCRATCH}/triples")
+    t_narrow = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    # row count from parquet footers (no execution); read triples ONCE
+    # and pin them (small: combiner output scale) for both consumers
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n_triples = sum(
+        pq.read_metadata(f).num_rows for f in glob.glob(f"{KG_SCRATCH}/triples/*.parquet")
+    )
+    triples = rd.read_parquet(f"{KG_SCRATCH}/triples").materialize()
+    kg.entities_dataset(triples, settle=True).write_parquet(f"{KG_SCRATCH}/entities")
+    kg.edges_dataset(triples, settle=True).write_parquet(f"{KG_SCRATCH}/edges")
+    t_wide = time.perf_counter() - t1
+
+    total = t_narrow + t_wide
+    return {
+        "sec": total,
+        "narrow_sec": t_narrow,
+        "wide_sec": t_wide,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "docs_per_sec": n_docs / total,
+        "triples_per_sec": n_triples / total,
+    }
+
+
+def _timed(fn, *args) -> float:
+    t0 = time.perf_counter()
+    res = fn(*args)
+    # consume lazily-built datasets
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            pass
+    return time.perf_counter() - t0
+
+
+def bench_queries() -> dict:
+    from transner_ray.ops import dedup, relational, similarity, textstats
+
+    out = {}
+    out["lineitem_pricing"] = _timed(relational.lineitem_pricing, SF_DIR)
+    out["segment_revenue"] = _timed(relational.segment_revenue, SF_DIR)
+    out["events_hourly"] = _timed(relational.events_hourly, SF_DIR)
+    out["token_counts"] = _timed(textstats.token_counts, SF_DIR)
+    out["exact_dedup"] = _timed(dedup.exact_dedup, SF_DIR)
+    out["minhash_dedup"] = _timed(dedup.minhash_dedup, SF_DIR)
+    out["ann_brute_force"] = _timed(similarity.brute_force_topk, SF_DIR)
+    return out
+
+
+def run_plain() -> dict:
+    _init_ray()
+    kg_stats = bench_kg()
+    queries = bench_queries()
+    queries["kg_pipeline"] = kg_stats["sec"]
+    result = {
+        "metric": "kg_pipeline_e2e_sec",
+        "value": round(kg_stats["sec"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": kg_stats["n_docs"],
+        "n_triples": kg_stats["n_triples"],
+        "docs_per_sec": round(kg_stats["docs_per_sec"], 2),
+        "triples_per_sec": round(kg_stats["triples_per_sec"], 2),
+        "narrow_sec": round(kg_stats["narrow_sec"], 3),
+        "wide_sec": round(kg_stats["wide_sec"], 3),
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "160000"))
+SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "2"))  # measures N vs 4N
+
+
+def run_scaling() -> dict:
+    """Cluster-size proxy (BASELINE.md): the SAME job on the SAME input
+    in two fresh processes at num_cpus=N and num_cpus=4N.
+
+    Default N=2 (so both levels sit under this sandbox's ~16 PHYSICAL
+    cores — `nproc` advertises more vCPUs than the host can run, and a
+    pure-CPU multiprocessing probe plateaus at ~16 burns/s, which would
+    cap any 8→32 comparison at ~0.5 efficiency regardless of the
+    engine). The corpus is larger than the plain bench's (SCALING_DOCS)
+    so compute dominates fixed per-execution overheads, as it would on
+    a real cluster."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_KG_DOCS=str(SCALING_DOCS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--kg-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        time.sleep(10)  # let the previous Ray session's teardown settle
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(SCALING_N), run(4 * SCALING_N)
+    rate_lo = lo["docs_per_sec"]
+    rate_hi = hi["docs_per_sec"]
+    eff = (rate_hi / rate_lo) / 4
+    return {
+        "metric": f"scaling_efficiency_{SCALING_N}_to_{4 * SCALING_N}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_docs": SCALING_DOCS,
+        f"sec_{SCALING_N}": lo["value"],
+        f"sec_{4 * SCALING_N}": hi["value"],
+        f"docs_per_sec_{SCALING_N}": round(rate_lo, 2),
+        f"docs_per_sec_{4 * SCALING_N}": round(rate_hi, 2),
+        f"triples_per_sec_{SCALING_N}": round(lo["triples_per_sec"], 2),
+        f"triples_per_sec_{4 * SCALING_N}": round(hi["triples_per_sec"], 2),
+        "sf": SF_DIR,
+    }
+
+
+def run_kg_only() -> dict:
+    _init_ray()
+    kg_stats = bench_kg()
+    result = {
+        "metric": "kg_pipeline_e2e_sec",
+        "value": round(kg_stats["sec"], 3),
+        "unit": "sec",
+        "queries": {"kg_pipeline": round(kg_stats["sec"], 3)},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": round(kg_stats["docs_per_sec"], 2),
+        "triples_per_sec": round(kg_stats["triples_per_sec"], 2),
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--kg-only" in sys.argv:
+        print(json.dumps(run_kg_only()))
+    else:
+        print(json.dumps(run_plain()))

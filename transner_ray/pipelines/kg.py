@@ -37,8 +37,8 @@ from ..stages.graph import (
     edge_partials_batch,
     entity_partials_batch,
     link_triples_batch,
-    reduce_edge_group,
-    reduce_entity_group,
+    reduce_edge_bucket,
+    reduce_entity_bucket,
 )
 from ..stages.split import split_sentences_batch
 from ..stages.triples import triples_batch
@@ -55,19 +55,36 @@ def sentences_dataset(
     pages: rd.Dataset,
     detect_concurrency: int | tuple[int, int] | None = None,
     detect_batch_size: int = 256,
+    use_actor_pool: bool = False,
 ) -> rd.Dataset:
-    """pages → nested sentence-mention rows (the narrow spine)."""
+    """pages → nested sentence-mention rows (the narrow spine).
+
+    Default is the TASK-based detect stage (worker-process-cached
+    state): Ray fuses read→extract→split→detect into one pipelined
+    operator, so ``detect_batch_size`` effectively counts PAGES per
+    fused task — sized so a task is ~0.5-1s of work and the task count
+    far exceeds the CPU count. ``use_actor_pool=True`` switches to the
+    ``MentionDetector`` actor pool (the shape the BertTagger GPU stage
+    uses: model load amortized across batches, ``concurrency`` ×
+    ``num_gpus`` sized to the cluster)."""
     gz_ref = ray.put(default_gazetteers())
-    return (
-        pages.map_batches(extract_text_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(split_sentences_batch, batch_format="pyarrow")
-        .map_batches(
+    base = pages.map_batches(
+        extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(split_sentences_batch, batch_format="pyarrow")
+    if use_actor_pool:
+        return base.map_batches(
             MentionDetector,
             batch_format="pyarrow",
             batch_size=detect_batch_size,
             concurrency=detect_concurrency or (1, 8),
             fn_constructor_kwargs={"gazetteers_ref": gz_ref},
         )
+    from ..stages.detect import make_detect_fn
+
+    return base.map_batches(
+        make_detect_fn(gazetteers_ref=gz_ref),
+        batch_format="pyarrow",
+        batch_size=detect_batch_size,
     )
 
 
@@ -81,19 +98,45 @@ def linked_triples_dataset(sent_mentions: rd.Dataset) -> rd.Dataset:
     )
 
 
-def entities_dataset(linked: rd.Dataset) -> rd.Dataset:
-    return (
-        linked.map_batches(entity_partials_batch, batch_format="pyarrow")
-        .groupby("entity_id")
-        .map_groups(reduce_entity_group, batch_format="pandas")
+def entities_dataset(
+    linked: rd.Dataset, settle: bool = False, wide_num_blocks: int = 8
+) -> rd.Dataset:
+    """Canonicalization: per-block partial counts (the combiner that
+    defuses Zipf-head skew) → partitioned hash-aggregate: groupby on
+    the crc32 bucket column, ONE vectorized pandas reduce per bucket
+    (stages/graph.py) — never one Python call per entity.
+
+    ``wide_num_blocks`` coalesces the partials before the all-to-all:
+    the sort-based shuffle creates blocks × partitions intermediate
+    objects, so 100+ small partial blocks → a task storm (measured
+    6x slower). Size it ~2x the reducer slots you want; raise it on a
+    real cluster. ``settle=True`` additionally materializes the
+    coalesced partials — right when the upstream is parquet-backed; it
+    EXECUTES the upstream at call time, so keep it False in lazy
+    multi-output compositions."""
+    partials = linked.map_batches(
+        entity_partials_batch, batch_format="pyarrow"
+    ).repartition(wide_num_blocks)
+    if settle:
+        partials = partials.materialize()
+    return partials.groupby("bucket").map_groups(
+        reduce_entity_bucket, batch_format="pandas"
     )
 
 
-def edges_dataset(linked: rd.Dataset) -> rd.Dataset:
+def edges_dataset(
+    linked: rd.Dataset, settle: bool = False, wide_num_blocks: int = 8
+) -> rd.Dataset:
+    """Edge weights + capped provenance (partitioned hash-aggregate),
+    then the one global sort. Parameters as in entities_dataset."""
+    partials = linked.map_batches(
+        edge_partials_batch, batch_format="pyarrow"
+    ).repartition(wide_num_blocks)
+    if settle:
+        partials = partials.materialize()
     return (
-        linked.map_batches(edge_partials_batch, batch_format="pyarrow")
-        .groupby(["subj_id", "pred", "obj_id"])
-        .map_groups(reduce_edge_group, batch_format="pandas")
+        partials.groupby("bucket")
+        .map_groups(reduce_edge_bucket, batch_format="pandas")
         .sort("subj_id")
     )
 
@@ -188,8 +231,8 @@ def run_partitioned(
 
     triples = rd.read_parquet(store.completed_stage_files("triples"))
     out_dir = out_dir or os.path.join(ckpt_dir, "out")
-    entities = entities_dataset(triples)
-    edges = edges_dataset(triples)
+    entities = entities_dataset(triples, settle=True)
+    edges = edges_dataset(triples, settle=True)
     for name, ds in (("entities", entities), ("edges", edges)):
         final = os.path.join(out_dir, name)
         tmp = final + ".tmp"

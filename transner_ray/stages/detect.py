@@ -28,6 +28,42 @@ from ..schemas import MENTIONS, SENTENCE_MENTIONS
 from ..tagger import RuleTagger
 
 
+def make_detect_fn(
+    gazetteers_ref=None,
+    threshold: float = SERVICE_THRESHOLD,
+    apply_regex: bool = True,
+    apply_gazetteers: bool = True,
+):
+    """Task-based variant of the detection stage for LIGHTWEIGHT
+    taggers (RuleTagger): a plain function whose state is built once
+    per WORKER PROCESS (module-level cache) instead of once per actor.
+
+    Rationale: an actor pool pays ~1s startup per actor (process spawn
+    + imports) before the first batch — right for a BERT model that
+    takes 10s to load and runs for hours, wrong for a microsecond-scale
+    rule tagger on a short job. Plain tasks reuse Ray's already-warm
+    worker processes AND let Ray fuse read→extract→split→detect→triples
+    into one pipelined operator with no object-store hop between
+    stages. The BertTagger path keeps the MentionDetector actor class
+    below."""
+
+    key = (gazetteers_ref, threshold, apply_regex, apply_gazetteers)
+
+    def detect_batch(batch: pa.Table) -> pa.Table:
+        det = _WORKER_CACHE.get(key)
+        if det is None:
+            det = MentionDetector(
+                gazetteers_ref, threshold, apply_regex, apply_gazetteers
+            )
+            _WORKER_CACHE[key] = det
+        return det(batch)
+
+    return detect_batch
+
+
+_WORKER_CACHE: dict = {}
+
+
 class MentionDetector:
     def __init__(
         self,

@@ -8,13 +8,19 @@
   per-batch PARTIAL aggregate first collapses each block to its
   distinct keys (the Zipf head entity contributes ≤1 row per block
   instead of one row per occurrence), then the small partials go
-  through ``groupby().map_groups``. This is the skew defusal
-  (SURVEY.md §4.2): shuffle volume is O(distinct keys × blocks), not
-  O(rows).
+  through a PARTITIONED HASH-AGGREGATE: rows carry a
+  ``crc32(key) % NUM_AGG_BUCKETS`` bucket column, ``groupby('bucket')``
+  shuffles once into ~64 coarse partitions, and each bucket is reduced
+  by ONE vectorized pandas call (never one Python call per key — at
+  millions of distinct edges that is the difference between a
+  shuffle-bound and a Python-bound wide phase). Skew defusal
+  (SURVEY.md §4.2): the combiner collapses the Zipf head to ≤1 row per
+  block, and hash-bucketing spreads keys uniformly over reducers.
 """
 
 from __future__ import annotations
 
+import zlib
 from collections import Counter
 
 import pyarrow as pa
@@ -36,15 +42,29 @@ LINKED_TRIPLES_FIELDS = [
 LINKED_TRIPLES = pa.schema(LINKED_TRIPLES_FIELDS)
 
 _ALIASES = build_alias_table()
+_LINK_CACHE: dict[tuple[str, str | None], str] = {}
+
+
+def _link_cached(surface: str, mtype: str | None) -> str:
+    """Per-worker memo of surface→entity_id: surfaces are Zipfian, so
+    the punctuation-separation normalization runs once per distinct
+    surface instead of once per triple endpoint."""
+    key = (surface, mtype)
+    eid = _LINK_CACHE.get(key)
+    if eid is None:
+        eid = link_entity(surface, mtype, _ALIASES)
+        if len(_LINK_CACHE) < 1_000_000:  # bound worker memory
+            _LINK_CACHE[key] = eid
+    return eid
 
 
 def link_triples_batch(batch: pa.Table) -> pa.Table:
     subj_ids = [
-        link_entity(s, t, _ALIASES)
+        _link_cached(s, t)
         for s, t in zip(batch.column("subj").to_pylist(), batch.column("subj_type").to_pylist())
     ]
     obj_ids = [
-        link_entity(o, t, _ALIASES)
+        _link_cached(o, t)
         for o, t in zip(batch.column("obj").to_pylist(), batch.column("obj_type").to_pylist())
     ]
     out = batch.append_column("subj_id", pa.array(subj_ids, pa.string()))
@@ -54,8 +74,11 @@ def link_triples_batch(batch: pa.Table) -> pa.Table:
 
 # ---------------------------------------------------------------- entities
 
+NUM_AGG_BUCKETS = 64
+
 ENTITY_PARTIALS = pa.schema(
     [
+        ("bucket", pa.int32()),
         ("entity_id", pa.string()),
         ("surface", pa.string()),
         ("type", pa.string()),
@@ -64,9 +87,17 @@ ENTITY_PARTIALS = pa.schema(
 )
 
 
+def _bucket(key: str) -> int:
+    """Deterministic hash bucket for the partitioned hash-aggregate
+    (never Python ``hash`` — it is salted per process)."""
+    return zlib.crc32(key.encode("utf-8")) % NUM_AGG_BUCKETS
+
+
 def entity_partials_batch(batch: pa.Table) -> pa.Table:
-    """Partial combiner: linked triples → (entity_id, surface, type, n)
-    counts over BOTH endpoints, one row per distinct key per block."""
+    """Partial combiner: linked triples → per-block (entity_id,
+    surface, type) counts over BOTH endpoints, one row per distinct key
+    per block, bucketed by hash(entity_id) for the partitioned
+    hash-aggregate reduce."""
     counts: Counter = Counter()
     cols = [
         batch.column(c).to_pylist()
@@ -78,6 +109,7 @@ def entity_partials_batch(batch: pa.Table) -> pa.Table:
     keys = list(counts)
     return pa.table(
         {
+            "bucket": pa.array([_bucket(k[0]) for k in keys], pa.int32()),
             "entity_id": pa.array([k[0] for k in keys], pa.string()),
             "surface": pa.array([k[1] for k in keys], pa.string()),
             "type": pa.array([k[2] for k in keys], pa.string()),
@@ -87,47 +119,63 @@ def entity_partials_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def reduce_entity_group(group) -> pa.Table:
-    """Final reduce per entity_id group (pandas in via map_groups):
-    canonical surface = max total count (tie → lexicographically last,
-    matching the oracle's ``max((count, surface))``), aliases = sorted
-    distinct surfaces, support = total occurrences."""
-    surf = Counter()
-    typ = Counter()
-    for s, t, n in zip(group["surface"], group["type"], group["n"]):
-        surf[s] += int(n)
-        typ[t] += int(n)
-    canonical = max(surf.items(), key=lambda kv: (kv[1], kv[0]))[0]
-    etype = max(typ.items(), key=lambda kv: (kv[1], kv[0]))[0]
-    return pa.table(
+def reduce_entity_bucket(df) -> pa.Table:
+    """VECTORIZED reduce of one hash bucket of entity partials (one
+    Python call per bucket, pandas kernels inside — never one call per
+    entity). Canonical surface = max (total count, surface) — matching
+    the oracle's ``max((count, surface))`` tie-break."""
+    import pandas as pd
+
+    surf = (
+        df.groupby(["entity_id", "surface"], as_index=False)["n"].sum()
+        .sort_values(["entity_id", "n", "surface"])
+    )
+    canonical = surf.groupby("entity_id").tail(1).set_index("entity_id")["surface"]
+    aliases = (
+        surf.sort_values(["entity_id", "surface"])
+        .groupby("entity_id")["surface"]
+        .agg(list)
+    )
+    support = surf.groupby("entity_id")["n"].sum()
+    typ = (
+        df.groupby(["entity_id", "type"], as_index=False)["n"].sum()
+        .sort_values(["entity_id", "n", "type"])
+    )
+    etype = typ.groupby("entity_id").tail(1).set_index("entity_id")["type"]
+    out = pd.DataFrame(
         {
-            "entity_id": pa.array([group["entity_id"].iloc[0]], pa.string()),
-            "canonical": pa.array([canonical], pa.string()),
-            "type": pa.array([etype], pa.string()),
-            "aliases": pa.array([sorted(surf)], pa.list_(pa.string())),
-            "support": pa.array([int(sum(surf.values()))], pa.int64()),
+            "entity_id": canonical.index,
+            "canonical": canonical.values,
+            "type": etype.reindex(canonical.index).values,
+            "aliases": aliases.reindex(canonical.index).values,
+            "support": support.reindex(canonical.index).astype("int64").values,
         }
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
-
-# ------------------------------------------------------------------- edges
 
 MAX_EDGE_SOURCES = 8
 
 EDGE_PARTIALS = pa.schema(
     [
+        ("bucket", pa.int32()),
         ("subj_id", pa.string()),
         ("pred", pa.string()),
         ("obj_id", pa.string()),
         ("weight", pa.int64()),
-        ("sources", pa.list_(pa.string())),
+        ("source", pa.string()),
     ]
 )
 
 
 def edge_partials_batch(batch: pa.Table) -> pa.Table:
     """Partial combiner: linked triples → per-block edge weights with a
-    capped provenance sample (sources)."""
+    capped provenance sample, one row per (edge, sampled source).
+
+    Cap-after-sort determinism: the union of per-block sorted-first-K
+    source samples, sorted and re-capped in the reduce, equals the
+    global sorted-first-K (any url in the global first K has at most
+    K-1 smaller urls in its own block) — oracle-identical."""
     weight: Counter = Counter()
     sources: dict[tuple, set] = {}
     for sid, p, oid, url in zip(
@@ -139,38 +187,51 @@ def edge_partials_batch(batch: pa.Table) -> pa.Table:
         k = (sid, p, oid)
         weight[k] += 1
         sources.setdefault(k, set()).add(url)
-    # cap AFTER sorting: the union of per-block sorted-first-K samples,
-    # sorted and re-capped, equals the global sorted-first-K (any url in
-    # the global first K has at most K-1 smaller urls in its own block),
-    # so the merged cap is deterministic and oracle-identical.
-    keys = list(weight)
+    buckets, sids, preds, oids, weights, srcs = [], [], [], [], [], []
+    for k, w in weight.items():
+        b = _bucket(k[0])
+        for i, src in enumerate(sorted(sources[k])[:MAX_EDGE_SOURCES]):
+            buckets.append(b)
+            sids.append(k[0])
+            preds.append(k[1])
+            oids.append(k[2])
+            # carry the edge weight on the first source row only, so the
+            # reduce can sum without double counting
+            weights.append(w if i == 0 else 0)
+            srcs.append(src)
     return pa.table(
         {
-            "subj_id": pa.array([k[0] for k in keys], pa.string()),
-            "pred": pa.array([k[1] for k in keys], pa.string()),
-            "obj_id": pa.array([k[2] for k in keys], pa.string()),
-            "weight": pa.array([weight[k] for k in keys], pa.int64()),
-            "sources": pa.array(
-                [sorted(sources[k])[:MAX_EDGE_SOURCES] for k in keys], pa.list_(pa.string())
-            ),
+            "bucket": pa.array(buckets, pa.int32()),
+            "subj_id": pa.array(sids, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "obj_id": pa.array(oids, pa.string()),
+            "weight": pa.array(weights, pa.int64()),
+            "source": pa.array(srcs, pa.string()),
         },
         schema=EDGE_PARTIALS,
     )
 
 
-def reduce_edge_group(group) -> pa.Table:
-    """Final reduce per (subj_id, pred, obj_id): sum weights, merge the
-    capped source samples (sorted union, first MAX_EDGE_SOURCES — the
-    oracle computes the same deterministic cap)."""
-    merged: set = set()
-    for lst in group["sources"]:
-        merged.update(lst)
-    return pa.table(
-        {
-            "subj_id": pa.array([group["subj_id"].iloc[0]], pa.string()),
-            "pred": pa.array([group["pred"].iloc[0]], pa.string()),
-            "obj_id": pa.array([group["obj_id"].iloc[0]], pa.string()),
-            "weight": pa.array([int(group["weight"].sum())], pa.int64()),
-            "sources": pa.array([sorted(merged)[:MAX_EDGE_SOURCES]], pa.list_(pa.string())),
-        }
+def reduce_edge_bucket(df) -> pa.Table:
+    """VECTORIZED reduce of one hash bucket of edge partials: weight =
+    sum, sources = sorted distinct first MAX_EDGE_SOURCES. One Python
+    call per bucket; pandas kernels inside."""
+    import pandas as pd
+
+    keys = ["subj_id", "pred", "obj_id"]
+    w = df.groupby(keys, as_index=False)["weight"].sum()
+    src = (
+        df[keys + ["source"]]
+        .drop_duplicates()
+        .sort_values(keys + ["source"])
+        .groupby(keys)
+        .head(MAX_EDGE_SOURCES)
+        .groupby(keys)["source"]
+        .agg(list)
+        .rename("sources")
+        .reset_index()
     )
+    out = w.merge(src, on=keys)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+

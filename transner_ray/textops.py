@@ -262,12 +262,33 @@ REGEX_PATTERNS: dict[str, re.Pattern] = {
 RULE_BASED_SCORE = 0.9  # float(_RULE_BASED_SCORE), ner.py:64,233
 
 
+# Cheap NECESSARY-condition prefilters per pattern (a sentence failing
+# the guard cannot match the pattern, so guarded output is identical):
+# digit-bearing patterns need a digit; EMAIL needs '@'; URI needs
+# '[URL_'; EU_PHONE needs a consecutive run of >=10 chars from [.0-9]
+# (its '([\.0-9]+){10}' groups concatenate into one run).
+_HAS_DIGIT = re.compile(r"[0-9]")
+_PHONE_RUN = re.compile(r"[.0-9]{10}")
+_GUARDS = {
+    "IT_FISCAL_CODE": lambda s: _HAS_DIGIT.search(s) is not None,
+    "EU_IBAN": lambda s: _HAS_DIGIT.search(s) is not None,
+    "NL_CITIZEN_SERVICE_NUMBER": lambda s: _HAS_DIGIT.search(s) is not None,
+    "UK_NATIONAL_ID_NUMBER": lambda s: _HAS_DIGIT.search(s) is not None,
+    "EU_PHONE_NUMBER": lambda s: _PHONE_RUN.search(s) is not None,
+    "EMAIL_ADDRESS": lambda s: "@" in s,
+    "IPV4_ADDRESS": lambda s: _HAS_DIGIT.search(s) is not None,
+    "URI": lambda s: "[URL_" in s,
+}
+
+
 def find_regex_entities(sentence: str) -> list[dict]:
     """All regex-battery mentions of one ORIGINAL-case sentence, in the
     reference's pattern-then-position order (ner.py:219-235), including
     the single leading/trailing punctuation strip (ner.py:227-231)."""
     found: list[dict] = []
     for field, regex in REGEX_PATTERNS.items():
+        if not _GUARDS[field](sentence):
+            continue
         for match in regex.finditer(sentence):
             value = match.group(0)
             offset = match.span(0)[0]
