@@ -1,0 +1,98 @@
+"""O11-O13 — the opt-in date-finder stage (ner.py:272-309).
+
+NOT part of the correctness oracle: the reference service never calls
+``find_dates`` (api.py:59 passes only apply_regex/apply_gazetteers —
+SURVEY.md §2.8 ruling 8). Shipped as an opt-in stage with the
+reference's exact control flow: left-to-right occurrence search with a
+moving ``starting_index``, suppression of candidates overlapping
+existing mentions (O12), and the TIME vs T_OPENING label rule (O13,
+T_OPENING iff an ORG/LOC mention exists).
+
+The reference uses ``dateparser.search_dates`` with a fasttext-detected
+language; neither library is in this container, so the default
+``search_dates`` hook is a deterministic regex matcher for the
+date shapes the corpus contains (dd/mm/yyyy, yyyy-mm-dd, d Month yyyy
+in en/it/nl). Pass a real ``dateparser``-backed callable to restore
+reference behavior bit-for-bit; the surrounding control flow is
+identical either way.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from .textops import RULE_BASED_SCORE, opening_time_type, spans_overlap
+
+_MONTHS = (
+    "january|february|march|april|may|june|july|august|september|october|"
+    "november|december|gennaio|febbraio|marzo|aprile|maggio|giugno|luglio|"
+    "agosto|settembre|ottobre|novembre|dicembre|januari|februari|maart|"
+    "april|mei|juni|juli|augustus|september|oktober|november|december"
+)
+
+_DATE_RE = re.compile(
+    r"\b(\d{1,2}/\d{1,2}/\d{2,4}|\d{4}-\d{2}-\d{2}|\d{1,2}\s+(?:" + _MONTHS + r")\s+\d{4})\b",
+    re.IGNORECASE,
+)
+
+
+def regex_search_dates(sentence: str, lang: str | None = None) -> list[tuple[str, None]]:
+    """Deterministic stand-in for ``dateparser.search_dates``: returns
+    [(matched_text, None), ...] in positional order."""
+    return [(m.group(1), None) for m in _DATE_RE.finditer(sentence)]
+
+
+def find_date_entities(
+    sentence: str,
+    entities: list[dict],
+    search_dates: Callable[[str, str | None], list[tuple[str, object]]] = regex_search_dates,
+    lang: str | None = None,
+) -> list[dict]:
+    """Mirror of ``Transner.find_dates`` for ONE sentence
+    (ner.py:282-307): for each found date, locate its next occurrence
+    from ``starting_index``; the reference's boundary probe
+    (``sentence[occurrence.end() + 1]``) raises IndexError at the
+    string tail, where the except-branch admits the date only when it
+    touches position 0 or the exact end — replicated."""
+    found: list[dict] = []
+    dates = search_dates(sentence, lang)
+    if not dates:
+        return found
+    starting_index = 0
+    for date_text, _ in dates:
+        occurrence = re.search(re.escape(date_text), sentence[starting_index:])
+        if occurrence is None:
+            continue
+        time_type = opening_time_type(entities + found)
+        try:
+            boundary_ok = not (
+                sentence[occurrence.start() - 1] == " "
+                and sentence[occurrence.end() + 1] == " "
+            )
+            if boundary_ok and not spans_overlap(
+                entities + found, occurrence.start(), occurrence.end()
+            ):
+                found.append(
+                    {
+                        "type": time_type,
+                        "value": date_text,
+                        "confidence": RULE_BASED_SCORE,
+                        "offset": starting_index + occurrence.start(),
+                        "detector": "date",
+                    }
+                )
+        except IndexError:
+            if occurrence.start() == 0 or occurrence.end() == len(sentence):
+                if not spans_overlap(entities + found, occurrence.start(), occurrence.end()):
+                    found.append(
+                        {
+                            "type": time_type,
+                            "value": date_text,
+                            "confidence": RULE_BASED_SCORE,
+                            "offset": starting_index + occurrence.start(),
+                            "detector": "date",
+                        }
+                    )
+        starting_index = starting_index + occurrence.end()
+    return found

@@ -33,6 +33,7 @@ def make_detect_fn(
     threshold: float = SERVICE_THRESHOLD,
     apply_regex: bool = True,
     apply_gazetteers: bool = True,
+    apply_dates: bool = False,
 ):
     """Task-based variant of the detection stage for LIGHTWEIGHT
     taggers (RuleTagger): a plain function whose state is built once
@@ -47,13 +48,13 @@ def make_detect_fn(
     stages. The BertTagger path keeps the MentionDetector actor class
     below."""
 
-    key = (gazetteers_ref, threshold, apply_regex, apply_gazetteers)
+    key = (gazetteers_ref, threshold, apply_regex, apply_gazetteers, apply_dates)
 
     def detect_batch(batch: pa.Table) -> pa.Table:
         det = _WORKER_CACHE.get(key)
         if det is None:
             det = MentionDetector(
-                gazetteers_ref, threshold, apply_regex, apply_gazetteers
+                gazetteers_ref, threshold, apply_regex, apply_gazetteers, apply_dates
             )
             _WORKER_CACHE[key] = det
         return det(batch)
@@ -71,6 +72,7 @@ class MentionDetector:
         threshold: float = SERVICE_THRESHOLD,
         apply_regex: bool = True,
         apply_gazetteers: bool = True,
+        apply_dates: bool = False,
     ):
         if gazetteers_ref is not None:
             gz: Gazetteers = ray.get(gazetteers_ref)
@@ -81,18 +83,28 @@ class MentionDetector:
         self.threshold = threshold
         self.apply_regex = apply_regex
         self.apply_gazetteers = apply_gazetteers
+        # opt-in, like the reference's find_dates (never called by the
+        # service path, api.py:59 — SURVEY.md §2.8 ruling 8)
+        self.apply_dates = apply_dates
+
+    def _detect(self, sentence: str) -> list[dict]:
+        mentions = detect_mentions(
+            sentence,
+            self.tagger,
+            self.gz,
+            self.threshold,
+            self.apply_regex,
+            self.apply_gazetteers,
+        )
+        if self.apply_dates:
+            from ..dates import find_date_entities
+
+            mentions.extend(find_date_entities(sentence, mentions))
+        return mentions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mention_lists = [
-            detect_mentions(
-                s,
-                self.tagger,
-                self.gz,
-                self.threshold,
-                self.apply_regex,
-                self.apply_gazetteers,
-            )
-            for s in batch.column("sentence").to_pylist()
+            self._detect(s) for s in batch.column("sentence").to_pylist()
         ]
         return pa.table(
             {

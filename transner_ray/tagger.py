@@ -31,6 +31,28 @@ from .gazetteers import Gazetteers, default_gazetteers
 
 WordLabel = tuple[str, str]
 
+DEFAULT_MODELS_DIR = "models"
+
+
+def resolve_model_path(pretrained_model: str, models_dir: str = DEFAULT_MODELS_DIR) -> str:
+    """S2 analogue of the reference's model resolution
+    (ner.py:129-151): a local path wins, then the cache directory.
+    The reference's third fallback — HTTP download of
+    ``{name}.tar.gz`` — is intentionally ABSENT (no network in prod
+    runs; model artifacts are provisioned to every node beforehand and
+    loaded once per actor in ``BertTagger.__init__``)."""
+    import os
+
+    if os.path.exists(pretrained_model):
+        return pretrained_model
+    cached = os.path.join(models_dir, pretrained_model)
+    if os.path.exists(cached):
+        return cached
+    raise FileNotFoundError(
+        f"Model {pretrained_model} not found locally or under {models_dir}/ "
+        "(network download is not supported; provision artifacts to the node)"
+    )
+
 
 class Tagger(Protocol):
     def tag(self, processed: str) -> tuple[list[WordLabel], list[float]]: ...
