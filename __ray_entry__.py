@@ -106,6 +106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_linked,
         "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),
         "kg_edges": lambda sf: kg.edges_dataset(_kg_linked(sf), settle=True),
+        # embedding-linker variant (alias + char-ngram embedding fallback)
+        "kg_edges_emblink": lambda sf: kg.edges_dataset(
+            kg.linked_triples_dataset(_kg_spine(sf), link_mode="embedding"), settle=True
+        ),
     }
 
 

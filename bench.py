@@ -232,10 +232,52 @@ def run_kg_only() -> dict:
     return result
 
 
+def run_probe() -> dict:
+    """Reference measurement-protocol parity (benchmarks.py:29-81):
+    one fixed batch = 8 copies of the probe sentence, run 10 times
+    through the full mention-detection path; report avg wall time and
+    max/min/avg resident memory. No Ray session needed — this measures
+    the per-worker detection kernel, like the reference measures its
+    single process."""
+    import resource
+
+    from transner_ray.gazetteers import default_gazetteers
+    from transner_ray.kg import detect_mentions
+    from transner_ray.tagger import RuleTagger
+
+    probe = (
+        "Il sig. Francesco Antonio Di Marco è nato a Milano, codice fiscale "
+        "DMRFNC80E01F205B, numero di telefono +39 0865989886, email di lavoro "
+        "francesco.dimarco@hotmail.com."
+    )
+    batch = [probe] * 8  # _BATCH_SIZE=8 (benchmarks.py:29)
+    gz = default_gazetteers()
+    tagger = RuleTagger(gz)
+    times, mems = [], []
+    for _ in range(10):  # 10 repeats (benchmarks.py:56)
+        t0 = time.perf_counter()
+        for s in batch:
+            detect_mentions(s, tagger, gz)
+        times.append(time.perf_counter() - t0)
+        mems.append(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0)
+    return {
+        "metric": "probe_batch8_avg_sec",
+        "value": round(sum(times) / len(times), 6),
+        "unit": "sec",
+        "max_mem_mib": round(max(mems), 1),
+        "min_mem_mib": round(min(mems), 1),
+        "avg_mem_mib": round(sum(mems) / len(mems), 1),
+        "runs": 10,
+        "batch_size": 8,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--kg-only" in sys.argv:
         print(json.dumps(run_kg_only()))
+    elif "--probe" in sys.argv:
+        print(json.dumps(run_probe()))
     else:
         print(json.dumps(run_plain()))

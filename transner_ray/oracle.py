@@ -25,6 +25,7 @@ def run_oracle(
     gazetteers: Gazetteers | None = None,
     threshold: float = SERVICE_THRESHOLD,
     max_sources: int = 8,
+    link_mode: str = "alias",
 ) -> dict:
     """pages rows ({'url','html','lang',...}) → dict of stage outputs:
     extracted, sentences, mentions, triples, entities, edges —
@@ -70,9 +71,17 @@ def run_oracle(
                 triples.append(t)
 
     # ---- linking: endpoints → entity ids -------------------------------
-    for t in triples:
-        t["subj_id"] = link_entity(t["subj"], t["subj_type"], aliases)
-        t["obj_id"] = link_entity(t["obj"], t["obj_type"], aliases)
+    if link_mode == "embedding":
+        from .linking import EmbeddingLinker
+
+        linker = EmbeddingLinker()
+        for t in triples:
+            t["subj_id"] = linker.link_one(t["subj"], t["subj_type"])
+            t["obj_id"] = linker.link_one(t["obj"], t["obj_type"])
+    else:
+        for t in triples:
+            t["subj_id"] = link_entity(t["subj"], t["subj_type"], aliases)
+            t["obj_id"] = link_entity(t["obj"], t["obj_type"], aliases)
 
     # ---- canonicalization: groupby entity_id over both endpoints -------
     surface_counts: dict[str, Counter] = defaultdict(Counter)

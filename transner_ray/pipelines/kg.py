@@ -92,10 +92,21 @@ def mentions_dataset(sent_mentions: rd.Dataset) -> rd.Dataset:
     return sent_mentions.map_batches(explode_mentions_batch, batch_format="pyarrow")
 
 
-def linked_triples_dataset(sent_mentions: rd.Dataset) -> rd.Dataset:
-    return sent_mentions.map_batches(triples_batch, batch_format="pyarrow").map_batches(
-        link_triples_batch, batch_format="pyarrow"
-    )
+def linked_triples_dataset(
+    sent_mentions: rd.Dataset, link_mode: str = "alias"
+) -> rd.Dataset:
+    """Triples + entity linking. ``link_mode='alias'`` is the exact
+    broadcast alias-table path; ``'embedding'`` adds the char-ngram
+    embedding fallback for unknown surfaces (transner_ray.linking)."""
+    triples = sent_mentions.map_batches(triples_batch, batch_format="pyarrow")
+    if link_mode == "embedding":
+        from ..linking import EmbeddingLinker, make_embedding_link_batch
+
+        linker_ref = ray.put(EmbeddingLinker())
+        return triples.map_batches(
+            make_embedding_link_batch(linker_ref), batch_format="pyarrow"
+        )
+    return triples.map_batches(link_triples_batch, batch_format="pyarrow")
 
 
 def entities_dataset(
