@@ -38,6 +38,25 @@ def test_separate_punctuations_curly_quotes():
     assert proc == "x “ y ” z"
 
 
+@settings(max_examples=500, deadline=None)
+@given(st.text(alphabet=string.printable + "è“”àéìòù", max_size=80))
+def test_separate_punctuations_differential(s):
+    """The span-based implementation must be bit-identical to the
+    literal per-char mirror of the reference algorithm."""
+    fast = textops.separate_punctuations(s, do_lower_case=True)
+    ref = textops._separate_punctuations_percchar(s, do_lower_case=True)
+    assert fast == ref
+    assert textops.separate_punctuations(s, False) == textops._separate_punctuations_percchar(s, False)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=1, max_size=7))
+def test_trunc_conf_fast_path_matches_np_mean(scores):
+    import numpy as np
+
+    assert textops._trunc_conf(scores) == float(str(np.mean(scores))[:6])
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(alphabet=string.printable + "è“”àéìòù", max_size=60))
 def test_offset_map_roundtrip(s):

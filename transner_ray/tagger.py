@@ -84,6 +84,24 @@ class RuleTagger:
         gz = gazetteers or default_gazetteers()
         self.phrases = gz.phrases
         self.max_len = gz.max_phrase_len
+        # first-word index: lengths of phrases starting with each word,
+        # longest first — positions whose word opens no phrase skip the
+        # candidate loop entirely (the common case)
+        by_first: dict[str, set[int]] = {}
+        for key in gz.phrases:
+            by_first.setdefault(key[0], set()).add(len(key))
+        self.first_word_lengths = {
+            w: tuple(sorted(ls, reverse=True)) for w, ls in by_first.items()
+        }
+        self._score_cache: dict[str, float] = {}
+
+    def _score(self, word: str) -> float:
+        s = self._score_cache.get(word)
+        if s is None:
+            s = _word_score(word)
+            if len(self._score_cache) < 1_000_000:
+                self._score_cache[word] = s
+        return s
 
     def tag(self, processed: str) -> tuple[list[WordLabel], list[float]]:
         words = processed.split()
@@ -93,8 +111,9 @@ class RuleTagger:
         while i < n:
             matched = 0
             mtype = None
-            top = min(self.max_len, n - i)
-            for length in range(top, 0, -1):
+            for length in self.first_word_lengths.get(words[i], ()):
+                if length > n - i:
+                    continue
                 key = tuple(words[i : i + length])
                 t = self.phrases.get(key)
                 if t is not None:
@@ -118,7 +137,7 @@ class RuleTagger:
                     i += 1
             else:
                 i += 1
-        scores = [_word_score(w) for w in words]
+        scores = [self._score(w) for w in words]
         return list(zip(words, labels)), scores
 
 

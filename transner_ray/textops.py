@@ -40,17 +40,15 @@ import numpy as np
 PUNCTS = frozenset(string.punctuation + "“" + "”")
 
 
-def separate_punctuations(s: str, do_lower_case: bool = True) -> tuple[str, list[int]]:
-    """Insert spaces around punctuation, tracking a processed→original
-    char offset map (``-1`` marks inserted chars).
+import re as _re
 
-    Mirrors ``NERSeparatePunctuations.preprocess`` for ONE string
-    (utils/preprocessing.py:47-89): a space directly after punctuation
-    is skipped (already emitted), punctuation gets a leading space when
-    glued to a word, and a trailing space unless string-final.
-    Returns ``(processed_string, offset_map)`` with
-    ``len(processed_string) == len(offset_map)``.
-    """
+_PUNCT_RE = _re.compile("[" + _re.escape(string.punctuation + "“”") + "]")
+
+
+def _separate_punctuations_percchar(s: str, do_lower_case: bool = True) -> tuple[str, list[int]]:
+    """Literal per-char mirror of ``NERSeparatePunctuations.preprocess``
+    (utils/preprocessing.py:47-89) — kept as the differential-test
+    reference for the span-based fast implementation below."""
     out: list[str] = []
     omap: list[int] = []
     n = len(s)
@@ -72,6 +70,65 @@ def separate_punctuations(s: str, do_lower_case: bool = True) -> tuple[str, list
             out.append(ch)
             omap.append(i)
     proc = "".join(out)
+    if do_lower_case:
+        proc = proc.lower()
+    assert len(proc) == len(omap)
+    return proc, omap
+
+
+def separate_punctuations(s: str, do_lower_case: bool = True) -> tuple[str, list[int]]:
+    """Insert spaces around punctuation, tracking a processed→original
+    char offset map (``-1`` marks inserted chars).
+
+    Semantics of ``NERSeparatePunctuations.preprocess``
+    (utils/preprocessing.py:47-89): a space directly after punctuation
+    is skipped (already emitted), punctuation gets a leading space when
+    glued to a word, and a trailing space unless string-final; the
+    reference's ``s[i-1]`` wrap-around at i==0 is replicated.
+
+    Implementation: span-based — non-punctuation runs are copied with
+    one slice + one ``range`` extend instead of per-char appends
+    (~3x; bit-equality with the per-char mirror is enforced by a
+    differential property test). Returns ``(processed, offset_map)``
+    with equal lengths.
+    """
+    if not _PUNCT_RE.search(s):
+        # fast path: nothing to separate; wrap-around skip can only
+        # trigger when the string HAS punctuation
+        return (s.lower() if do_lower_case else s), list(range(len(s)))
+
+    n = len(s)
+    parts: list[str] = []
+    omap: list[int] = []
+    last_char = ""  # last char emitted so far
+    prev = 0  # next original index to copy
+
+    def copy_span(start: int, stop: int) -> None:
+        nonlocal last_char
+        if start < stop and s[start] == " " and s[start - 1] in PUNCTS:
+            start += 1  # space directly after punctuation: already emitted
+        if start < stop:
+            parts.append(s[start:stop])
+            omap.extend(range(start, stop))
+            last_char = s[stop - 1]
+
+    for m in _PUNCT_RE.finditer(s):
+        i = m.start()
+        copy_span(prev, i)
+        if i > 0 and s[i - 1] != " " and last_char and last_char != " ":
+            parts.append(" ")
+            omap.append(-1)
+        parts.append(s[i])
+        omap.append(i)
+        last_char = s[i]
+        if n > i + 1:
+            parts.append(" ")
+            omap.append(i + 1 if s[i + 1] == " " else -1)
+            last_char = " "
+        prev = i + 1
+    copy_span(prev, n)
+
+    proc = "".join(parts)
     if do_lower_case:
         proc = proc.lower()
     assert len(proc) == len(omap)
@@ -139,7 +196,16 @@ BIO_LABELS = (
 
 def _trunc_conf(scores: list[float]) -> float:
     """``float(str(np.mean(scores))[:6])`` — the reference's 4-ish-digit
-    string truncation (ner.py:403). Thresholding at 0.75 depends on it."""
+    string truncation (ner.py:403). Thresholding at 0.75 depends on it.
+
+    Fast path: for n ≤ 7 ``sum/len`` is bit-identical to np.mean
+    (numpy's 8-way-unrolled pairwise accumulation only changes the
+    addition order from n = 8 up — verified empirically over 20k random
+    cases and guarded by a property test); np.mean costs ~25 µs per
+    call, which dominated the decode hot path."""
+    n = len(scores)
+    if n <= 7:
+        return float(str(sum(scores) / n)[:6])
     return float(str(np.mean(scores))[:6])
 
 
