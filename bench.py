@@ -162,7 +162,10 @@ def run_plain() -> dict:
     return result
 
 
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "160000"))
+# 320k docs ≈ 8-10 min total for both legs, but puts the job firmly in
+# compute-dominated territory (fixed per-execution Ray overheads are
+# 10-20 s per leg in this sandbox and would otherwise cap the ratio)
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "320000"))
 SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "2"))  # measures N vs 4N
 
 
