@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_flag_status": relational.distinct_flag_status,
         "union_lower_count": relational.union_lower_count,
         "brand_stats": relational.brand_stats,
+        "user_sessions": relational.user_sessions,
+        "top_parts_per_brand": relational.top_parts_per_brand,
+        "customers_without_big_orders": relational.customers_without_big_orders,
         # ---- text analysis (SQL-checked) ----
         "token_counts": textstats.token_counts,
         "quality_signals": textstats.quality_signals,
@@ -127,6 +130,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_flag_status": relational.DISTINCT_FLAG_STATUS_SQL,
         "union_lower_count": relational.UNION_LOWER_COUNT_SQL,
         "brand_stats": relational.BRAND_STATS_SQL,
+        "user_sessions": relational.USER_SESSIONS_SQL,
+        "top_parts_per_brand": relational.TOP_PARTS_PER_BRAND_SQL,
+        "customers_without_big_orders": relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_signals": textstats.QUALITY_SIGNALS_SQL,
         "fingerprints": textstats.FINGERPRINTS_SQL,

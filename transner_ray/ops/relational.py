@@ -317,6 +317,129 @@ SELECT count(*) AS n_rows FROM (
 """
 
 
+# ------------------------------------------------- sessionization
+
+SESSION_GAP_MIN = 30
+
+
+def user_sessions(sf_dir: str) -> rd.Dataset:
+    """Gap-based sessionization (the streaming-shaped workload of the
+    guide): events partitioned by user, sorted by ts within the group,
+    a new session starts after a >30-min silence. Per-user groups are
+    small → ``groupby(user).map_groups`` with vectorized pandas inside.
+    Returns one row per session."""
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype("int64")
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .sort(["user_id", "session_start"])
+    )
+
+
+USER_SESSIONS_SQL = f"""
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {SESSION_GAP_MIN} MINUTE
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+# ------------------------------------------------- top-k per group
+
+def top_parts_per_brand(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-group top-k (row_number pattern): k most expensive parts per
+    brand, ties broken by partkey."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True]).head(k)
+
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+        .groupby("p_brand")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["p_brand", "p_retailprice", "p_partkey"], descending=[False, True, False])
+    )
+
+
+TOP_PARTS_PER_BRAND_SQL = """
+SELECT p_partkey, p_brand, p_retailprice FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+ORDER BY p_brand, p_retailprice DESC, p_partkey
+"""
+
+
+# ------------------------------------------------------- anti-join
+
+BIG_ORDER_PRICE = 200_000.0
+
+
+def customers_without_big_orders(sf_dir: str) -> rd.Dataset:
+    """Broadcast ANTI-join: the key set of customers holding an order
+    above BIG_ORDER_PRICE is collected once (small: distinct custkeys),
+    broadcast via ray.put, and customers are filtered against it inside
+    map_batches — no shuffle (semi/anti joins broadcast the key set, or
+    a Bloom filter of it at scale)."""
+    import pyarrow.compute as _pc
+
+    big = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(_pc.greater(t["o_totalprice"], pa.scalar(BIG_ORDER_PRICE))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    keys_ref = ray.put(set(int(k) for k in big))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        have = ray.get(keys_ref)
+        return df[~df["c_custkey"].isin(have)]
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        .map_batches(anti, batch_format="pandas")
+        .sort("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > {BIG_ORDER_PRICE})
+ORDER BY c_custkey
+"""
+
+
 # --------------------------------------------------------- part stats
 
 def brand_stats(sf_dir: str) -> rd.Dataset:
