@@ -47,6 +47,20 @@ def _kg_linked(sf_dir: str):
     return kg.linked_triples_dataset(_kg_spine(sf_dir))
 
 
+def _kg_sentences_only(sf_dir: str):
+    """Sentence split WITHOUT the detection stage (don't pay the model
+    stage to list sentences)."""
+    from transner_ray.pipelines import kg
+    from transner_ray.stages.extract import extract_text_batch
+    from transner_ray.stages.split import split_sentences_batch
+
+    return (
+        kg.read_pages(_kg_pages_paths(sf_dir))
+        .map_batches(extract_text_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(split_sentences_batch, batch_format="pyarrow")
+    )
+
+
 def entry() -> Any:
     """Flagship: synthetic pages @ sf0.001 scale → KG edges (sorted)."""
     from transner_ray.pipelines import kg
@@ -104,7 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": multimodal.media_metadata,
         # ---- KG pipeline stages (pytest-oracle-gated; extract is SQL-checked) ----
         "kg_extract_text": kg_extract,
-        "kg_sentences": lambda sf: _kg_spine(sf).drop_columns(["mentions"]),
+        "kg_sentences": _kg_sentences_only,
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
         "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),

@@ -86,6 +86,21 @@ def test_edges_equal_and_sorted(engine_out, oracle_small):
     assert list(edges["subj_id"]) == sorted(edges["subj_id"])
 
 
+def test_actor_pool_path_matches_tasks(pages_small):
+    """The MentionDetector ACTOR-POOL stage (the BertTagger shape) must
+    produce exactly what the task-based default produces."""
+    tasks = kg.kg_datasets(kg.read_pages(pages_small))["triples"].to_pandas()
+    pool = kg.linked_triples_dataset(
+        kg.sentences_dataset(
+            kg.read_pages(pages_small), detect_concurrency=2, use_actor_pool=True
+        )
+    ).to_pandas()
+    key = lambda df: set(
+        zip(df["subj_id"], df["pred"], df["obj_id"], df["url"], df["sent_idx"])
+    )
+    assert key(tasks) == key(pool)
+
+
 def test_batch_size_invariance(pages_small):
     """Identical triples at batch_size 8 vs 256 (model-stage outputs
     must not depend on co-batched rows — SURVEY.md §4.3)."""

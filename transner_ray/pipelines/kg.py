@@ -208,6 +208,17 @@ def run_partitioned(
             store.clean_incomplete(stage, pid)
         sm = sentences_dataset(read_pages(files), detect_concurrency, detect_batch_size)
         rows: dict[str, int] = {}
+
+        def _rows_written(stage: str) -> int:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            return sum(
+                _pq.read_metadata(f).num_rows
+                for f in _glob.glob(os.path.join(store.tmp_stage_dir(stage, pid), "*.parquet"))
+            )
+
         if write_mentions:
             # two consumers of the spine within one partition: checkpoint
             # the nested sentence-mentions once, then derive both outputs
@@ -216,9 +227,11 @@ def run_partitioned(
             sm = rd.read_parquet(sm_dir)
             mentions = mentions_dataset(sm)
             mentions.write_parquet(store.tmp_stage_dir("mentions", pid))
+            rows["mentions"] = _rows_written("mentions")
             store.commit_stage_dir("mentions", pid)
         linked = linked_triples_dataset(sm)
         linked.write_parquet(store.tmp_stage_dir("triples", pid))
+        rows["triples"] = _rows_written("triples")
         store.commit_stage_dir("triples", pid)
         if write_mentions:
             import shutil
