@@ -86,6 +86,48 @@ def test_edges_equal_and_sorted(engine_out, oracle_small):
     assert list(edges["subj_id"]) == sorted(edges["subj_id"])
 
 
+def test_mention_types_within_supported_set(engine_out):
+    from transner_ray.ner_core import EXTENDED_TYPES
+
+    assert set(engine_out["mentions"]["type"]) <= set(EXTENDED_TYPES)
+
+
+def test_malformed_html_rows_dropped_not_fatal():
+    import pyarrow as pa
+
+    from transner_ray.htmlops import wrap_html
+    from transner_ray.schemas import PAGES
+    from transner_ray.stages.extract import extract_text_batch
+    from transner_ray.synth import EPOCH_BASE_US
+
+    rows = [
+        {
+            "url": "https://x/good",
+            "warc_ts": EPOCH_BASE_US,
+            "html": wrap_html("t", "Buon testo."),
+            "text": "Buon testo.",
+            "lang": "it",
+        },
+        {
+            "url": "https://x/bad-container",
+            "warc_ts": EPOCH_BASE_US,
+            "html": b"\x00\x01 not a container",
+            "text": "",
+            "lang": "it",
+        },
+        {
+            "url": "https://x/bad-utf8",
+            "warc_ts": EPOCH_BASE_US,
+            "html": wrap_html("t", "ok")[:30] + b"\xff\xfe" + wrap_html("t", "ok")[30:],
+            "text": "",
+            "lang": "it",
+        },
+    ]
+    out = extract_text_batch(pa.Table.from_pylist(rows, schema=PAGES))
+    assert out.column("url").to_pylist() == ["https://x/good"]
+    assert out.column("text").to_pylist() == ["Buon testo."]
+
+
 def test_actor_pool_path_matches_tasks(pages_small):
     """The MentionDetector ACTOR-POOL stage (the BertTagger shape) must
     produce exactly what the task-based default produces."""

@@ -29,3 +29,13 @@ def extract_text(html: bytes) -> str:
     end = html.rindex(_POST)
     body = html[start:end]
     return b"\n".join(body.split(_SEP)).decode("utf-8")
+
+
+def extract_text_safe(html: bytes) -> str | None:
+    """Extraction for dirty corpora: None for payloads that are not
+    valid containers or not valid utf-8 (a 100 TB crawl always has
+    them; one bad row must never fail a block)."""
+    try:
+        return extract_text(html)
+    except (ValueError, UnicodeDecodeError):
+        return None

@@ -21,6 +21,29 @@ from .tagger import Tagger
 
 SERVICE_THRESHOLD = 0.75  # api.py:121
 
+# The public type list served by the reference's metadata endpoint
+# (supported_types.json:1, served at api.py:74-82) — S12. DOCUMENT and
+# PROCEDURE exist in the label space (ner.py:40-46) but are not in the
+# public list; TIME/T_OPENING come only from the opt-in date stage.
+SUPPORTED_TYPES = (
+    "PERSON",
+    "LOCATION",
+    "ORGANIZATION",
+    "MISCELLANEOUS",
+    "IT_FISCAL_CODE",
+    "EU_IBAN",
+    "NL_CITIZEN_SERVICE_NUMBER",
+    "UK_NATIONAL_ID_NUMBER",
+    "EU_PHONE_NUMBER",
+    "EMAIL_ADDRESS",
+    "IPV4_ADDRESS",
+    "RELIGION",
+)
+# URI is emitted by the regex battery (ner.py:62) yet missing from the
+# reference's own public list — an inconsistency the reference ships;
+# it belongs in the extended (actually-emittable) set.
+EXTENDED_TYPES = SUPPORTED_TYPES + ("URI", "DOCUMENT", "PROCEDURE", "TIME", "T_OPENING")
+
 
 def ner_sentence(
     sentence: str,

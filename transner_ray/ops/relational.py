@@ -440,6 +440,46 @@ ORDER BY c_custkey
 """
 
 
+# ------------------------------------------------- JSON column parse
+
+def event_props_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured column parsing: the events ``props`` JSON column
+    parsed per batch (orjson-free stdlib json, vectorized aggregation
+    after), grouped stats of the extracted ``k`` field per event_type."""
+    import json
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        ks = [int(json.loads(p)["k"]) for p in df["props"]]
+        out = pd.DataFrame({"event_type": df["event_type"], "k": ks})
+        return out.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max")
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(parse, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+        .sort("event_type")
+    )
+
+
+EVENT_PROPS_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------- part stats
 
 def brand_stats(sf_dir: str) -> rd.Dataset:
