@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import struct
 
-import pandas as pd
+
 import pyarrow as pa
 
 import ray.data as rd

@@ -11,7 +11,6 @@ from __future__ import annotations
 import hashlib
 import re
 
-import numpy as np
 import pandas as pd
 
 import ray.data as rd
