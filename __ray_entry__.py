@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": relational.top_parts_per_brand,
         "customers_without_big_orders": relational.customers_without_big_orders,
         "event_props_stats": relational.event_props_stats,
+        "priority_revenue": relational.priority_revenue,
         # ---- text analysis (SQL-checked) ----
         "token_counts": textstats.token_counts,
         "quality_signals": textstats.quality_signals,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "top_parts_per_brand": relational.TOP_PARTS_PER_BRAND_SQL,
         "customers_without_big_orders": relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "event_props_stats": relational.EVENT_PROPS_STATS_SQL,
+        "priority_revenue": relational.PRIORITY_REVENUE_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_signals": textstats.QUALITY_SIGNALS_SQL,
         "fingerprints": textstats.FINGERPRINTS_SQL,

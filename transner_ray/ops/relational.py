@@ -440,6 +440,55 @@ ORDER BY c_custkey
 """
 
 
+# ------------------------------------------- large x large hash join
+
+def priority_revenue(sf_dir: str) -> rd.Dataset:
+    """Both-sides-large join: orders ⋈ lineitem via ``Dataset.join``
+    (hash-partitioned on the key — the shuffle join; broadcast would
+    not hold a fact table). Revenue per order priority."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue_col(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    joined = items.map_batches(revenue_col, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("revenue", "size"), revenue=("revenue", "sum")
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"), "revenue", pc.round(t["revenue"], 4)
+        ),
+        batch_format="pyarrow",
+    ).sort("o_orderpriority")
+
+
+PRIORITY_REVENUE_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ------------------------------------------------- JSON column parse
 
 def event_props_stats(sf_dir: str) -> rd.Dataset:
