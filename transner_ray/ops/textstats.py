@@ -103,6 +103,53 @@ def fnv1a64(text: str) -> int:
     return h
 
 
+# ------------------------------------------------- repetition signals
+
+def word_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition/quality signals, kept as exact integers:
+    total words, distinct words, and the count of the most frequent
+    word — the inputs to repetition-ratio filters in training-data
+    pipelines. Vectorized per batch (one Counter per doc)."""
+    from collections import Counter
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n_words, n_distinct, top = [], [], []
+        for t in df["text"]:
+            words = _WORD_RE.findall(t.lower())
+            c = Counter(words)
+            n_words.append(len(words))
+            n_distinct.append(len(c))
+            top.append(max(c.values()) if c else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": pd.Series(n_words, dtype="int64"),
+                "n_distinct_words": pd.Series(n_distinct, dtype="int64"),
+                "top_word_count": pd.Series(top, dtype="int64"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+WORD_REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), counts AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+)
+SELECT d.doc_id,
+       coalesce(s.n_words, 0) AS n_words,
+       coalesce(s.n_distinct_words, 0) AS n_distinct_words,
+       coalesce(s.top_word_count, 0) AS top_word_count
+FROM documents d LEFT JOIN (
+  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words, max(c) AS top_word_count
+  FROM counts GROUP BY doc_id
+) s USING (doc_id)
+"""
+
+
 # ------------------------------------------------------ language heuristic
 
 def language_guess(sf_dir: str) -> rd.Dataset:
