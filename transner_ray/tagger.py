@@ -141,6 +141,40 @@ class RuleTagger:
         return list(zip(words, labels)), scores
 
 
+def realign_wordpieces(
+    words: list[str],
+    word_ids: list[int | None],
+    wp_labels: list[str],
+    wp_scores: list[float],
+) -> tuple[list[WordLabel], list[float]]:
+    """Wordpiece→token realignment (the step simpletransformers hides
+    inside ``NERModel.predict`` — north_star names it explicitly):
+
+    each word takes the label and softmax-max score of its FIRST
+    sub-token; special tokens (``word_ids[i] is None``: [CLS]/[SEP]/
+    padding) are skipped; words whose sub-tokens were all truncated
+    away by the 512-wordpiece cap (ner.py:99) are dropped from the
+    prediction stream — exactly what a fast tokenizer's
+    ``word_ids()`` mapping yields.
+
+    Pure and torch-free: ``BertTagger.tag`` feeds it real tokenizer
+    output; tests feed it synthetic sub-token splits."""
+    label_by_word: dict[int, str] = {}
+    score_by_word: dict[int, float] = {}
+    for wid, label, score in zip(word_ids, wp_labels, wp_scores):
+        if wid is None or wid in label_by_word:
+            continue
+        label_by_word[wid] = label
+        score_by_word[wid] = score
+    out_wl: list[WordLabel] = []
+    out_scores: list[float] = []
+    for i, w in enumerate(words):
+        if i in label_by_word:
+            out_wl.append((w, label_by_word[i]))
+            out_scores.append(score_by_word[i])
+    return out_wl, out_scores
+
+
 class BertTagger:
     """Production BERT tagger (actor-pool stage state). Mirrors the
     reference model config (ner.py:97-115): max_seq_length=512, 13 BIO
@@ -149,8 +183,10 @@ class BertTagger:
 
     Wordpiece→token realignment (done inside simpletransformers in the
     reference) is explicit here: tokenize the whitespace words with
-    ``is_split_into_words=True``, take the argmax label and softmax-max
-    score of the FIRST subtoken of each word.
+    ``is_split_into_words=True``, take the fast tokenizer's
+    ``word_ids()`` mapping, run the batched forward, and feed argmax
+    labels + softmax-max scores through ``realign_wordpieces`` above
+    (which is pure and fully tested without torch).
 
     torch/transformers are not installed in this sandbox, so
     construction raises ``NotImplementedError`` with the exact plumbing
