@@ -85,6 +85,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = rd.from_arrow(pages_from_documents(sf_dir)).drop_columns(["warc_ts", "text"])
         return pages.map_batches(extract_text_batch, batch_format="pyarrow")
 
+    def kg_split_docs(sf_dir: str):
+        """Sentence splitter over documents-derived pages — the split
+        itself is SQL-checkable (same regex semantics in DuckDB)."""
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from transner_ray.stages.extract import extract_text_batch
+        from transner_ray.stages.split import split_sentences_batch
+
+        pages = rd.from_arrow(pages_from_documents(sf_dir)).drop_columns(["warc_ts", "text"])
+        return (
+            pages.map_batches(extract_text_batch, batch_format="pyarrow")
+            .map_batches(split_sentences_batch, batch_format="pyarrow")
+            .map_batches(
+                lambda t: pa.table({"url": t["url"], "sentence": t["sentence"]}),
+                batch_format="pyarrow",
+            )
+        )
+
     return {
         # ---- relational operator suite (SQL-checked) ----
         "lineitem_pricing": relational.lineitem_pricing,
@@ -102,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": relational.customers_without_big_orders,
         "event_props_stats": relational.event_props_stats,
         "priority_revenue": relational.priority_revenue,
+        "events_sliding": relational.events_sliding,
         # ---- text analysis (SQL-checked) ----
         "token_counts": textstats.token_counts,
         "quality_signals": textstats.quality_signals,
@@ -121,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": multimodal.media_metadata,
         # ---- KG pipeline stages (pytest-oracle-gated; extract is SQL-checked) ----
         "kg_extract_text": kg_extract,
+        "kg_split_docs": kg_split_docs,
         "kg_sentences": _kg_sentences_only,
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
@@ -152,6 +174,15 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_big_orders": relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "event_props_stats": relational.EVENT_PROPS_STATS_SQL,
         "priority_revenue": relational.PRIORITY_REVENUE_SQL,
+        "events_sliding": relational.EVENTS_SLIDING_SQL,
+        "kg_split_docs": r"""
+            SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   trim(s) AS sentence
+            FROM (
+              SELECT doc_id, unnest(regexp_extract_all(text, '[^.!?\n]*[.!?]+|[^.!?\n]+')) AS s
+              FROM documents
+            ) WHERE trim(s) != ''
+        """,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "quality_signals": textstats.QUALITY_SIGNALS_SQL,
         "fingerprints": textstats.FINGERPRINTS_SQL,

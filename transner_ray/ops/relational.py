@@ -273,6 +273,57 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+# ------------------------------------------------ sliding window agg
+
+SLIDE_ORIGIN = "2024-01-01"
+
+
+def events_sliding(sf_dir: str) -> rd.Dataset:
+    """Sliding window (60-min window, 15-min slide): each event is
+    flat-mapped to the 4 window starts containing it (vectorized:
+    floor-to-15-min plus three shifts), then combiner + groupby — the
+    batch-engine expression of a sliding stream window."""
+    from ray.data.aggregate import Sum
+
+    origin = pd.Timestamp(SLIDE_ORIGIN)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor("15min")
+        frames = []
+        for k in range(4):
+            w = base - pd.Timedelta(minutes=15 * k)
+            frames.append(pd.DataFrame({"w_start": w, "event_type": df["event_type"], "value": df["value"]}))
+        out = pd.concat(frames, ignore_index=True)
+        out = out[out["w_start"] >= origin]
+        return out.groupby(["w_start", "event_type"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+
+    out = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(expand, batch_format="pandas")
+        .groupby(["w_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)
+        ),
+        batch_format="pyarrow",
+    ).sort(["w_start", "event_type"])
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH ws AS (
+  SELECT unnest(generate_series(TIMESTAMP '{SLIDE_ORIGIN}',
+                                TIMESTAMP '2024-01-31', INTERVAL 15 MINUTE)) AS w_start
+)
+SELECT w_start, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events e JOIN ws ON e.ts >= ws.w_start AND e.ts < ws.w_start + INTERVAL 60 MINUTE
+GROUP BY w_start, event_type ORDER BY w_start, event_type
+"""
+
+
 # --------------------------------------------------------- distinct
 
 def distinct_flag_status(sf_dir: str) -> rd.Dataset:
