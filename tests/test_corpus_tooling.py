@@ -148,7 +148,7 @@ def test_split_and_augment(tmp_path):
 
 
 def test_entity_table_dedup():
-    d = corpus.dedup_first_wins([("a", "PER"), ("b", "LOC"), ("a", "ORG")])
+    d = corpus.dedup_by_key_last_wins([("a", "PER"), ("b", "LOC"), ("a", "ORG")])
     assert d == {"a": "ORG", "b": "LOC"}  # dict.update: last wins (ref quirk)
     ents = {"rome": "LOC", "treaty of rome": "MISC", "paris": "LOC"}
     out = corpus.subsumption_filter(dict(ents))

@@ -72,6 +72,29 @@ def test_resume_after_simulated_kill(workdir):
     pd.testing.assert_frame_equal(e1, e2)
 
 
+def test_resume_cleans_stale_sm_checkpoint(workdir):
+    """Regression (review finding): a kill AFTER sm.write_parquet but
+    before the manifest leaves a stale ckpt/sm/part=N.tmp; the re-run
+    writes fresh UUID-named files BESIDE the stale ones unless the sm
+    stage is cleaned — which would duplicate every sentence and corrupt
+    edge weights."""
+    r1 = kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=3)
+    e1 = _edges(r1["out_dir"])
+
+    # simulate the kill: partition 1 manifest gone, a stale sm tmp dir
+    # containing REAL sentence data (duplicate-inducing if not cleaned)
+    os.remove(os.path.join(workdir["ckpt"], "manifest", "part-0001.json"))
+    stale_sm = os.path.join(workdir["ckpt"], "sm", "part=0001.tmp")
+    os.makedirs(stale_sm, exist_ok=True)
+    sm = kg.sentences_dataset(kg.read_pages(workdir["paths"][1:2]))
+    sm.write_parquet(stale_sm)
+
+    r2 = kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=3)
+    assert r2["ran"] == [1]
+    e2 = _edges(r2["out_dir"])
+    pd.testing.assert_frame_equal(e1, e2)  # weights NOT inflated
+
+
 def test_manifest_lineage_content(workdir):
     kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=3)
     with open(os.path.join(workdir["ckpt"], "manifest", "part-0000.json")) as f:

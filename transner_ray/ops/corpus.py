@@ -72,7 +72,8 @@ def split_proportions(
     (random_split semantics)."""
     if seed is not None:
         sentences = sentences.random_shuffle(seed=seed)
-    return tuple(sentences.split_proportionately([train, val])[i] for i in range(3))
+    tr, va, te = sentences.split_proportionately([train, val])
+    return tr, va, te
 
 
 def augment_lowercase(sentences: rd.Dataset) -> rd.Dataset:
@@ -92,10 +93,11 @@ def augment_lowercase(sentences: rd.Dataset) -> rd.Dataset:
 
 # ---------------------------------------------------- entity-table ops
 
-def dedup_first_wins(pairs: list[tuple[str, str]]) -> dict[str, str]:
-    """O20 (parser.py:90-99): dict-insert dedup — for duplicate keys the
-    LAST value wins (dict.update semantics), replicated exactly
-    (the reference's own #FIXME notes the drop)."""
+def dedup_by_key_last_wins(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """O20 (parser.py:90-99): dict-insert dedup — for duplicate keys
+    the LAST value wins (``dict.update`` semantics; the reference's own
+    #FIXME mis-describes this as dropping duplicates), replicated
+    exactly."""
     out: dict[str, str] = {}
     for k, v in pairs:
         out[k] = v

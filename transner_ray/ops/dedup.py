@@ -11,14 +11,15 @@ Scale notes (the part that matters at 100 TB):
   (small) text column via ``ray.put``; at corpus scale you'd hash-join
   the pair list back to the shingle sets instead — documented
   partitioning assumption, same semantics.
-* SimHash: 64-bit signatures; candidates blocked on 16-bit bands
-  (hamming ≤ 3 guaranteed found at ≥1 shared band by pigeonhole over
-  4 bands).
+* SimHash: 64-bit signatures; candidates blocked on 8×8-bit bands
+  (pigeonhole: hamming ≤ 7 guaranteed found at ≥1 shared band —
+  keep SIMHASH_BANDS and any ``max_hamming`` tuning consistent).
 * embedding near-dup: sign-random-projection buckets (seeded), exact
   cosine verify within buckets.
 
-All hashes are deterministic (FNV-1a / splitmix-style mixing — no
-Python ``hash``), so every run and every parallelism level agrees.
+All hashes are deterministic (memoized crc32 word hashes + splitmix64
+mixing — never Python ``hash``, which is salted per process), so every
+run and every parallelism level agrees.
 """
 
 from __future__ import annotations
@@ -344,15 +345,14 @@ def embedding_neardup(sf_dir: str, cos_threshold: float = 0.9, n_planes: int = 8
     (seeded hyperplanes → 2^n_planes buckets), exact cosine verify
     within each bucket. Single-probe: pairs straddling a hyperplane can
     be missed — the standard LSH recall tradeoff, documented."""
-    rng = np.random.default_rng(7)
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    planes: np.ndarray | None = None
 
     def bucket_batch(df: pd.DataFrame) -> pd.DataFrame:
-        nonlocal planes
         vecs = np.stack(df["embedding"].to_numpy())
-        if planes is None:
-            planes = np.random.default_rng(7).standard_normal((vecs.shape[1], n_planes))
+        # hyperplanes regenerated per task from the FIXED seed — a pure
+        # function of (seed, dim, n_planes), so every worker/batch uses
+        # identical planes without any cross-worker state
+        planes = np.random.default_rng(7).standard_normal((vecs.shape[1], n_planes))
         norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         signs = (norm @ planes) > 0
         bucket = signs @ (1 << np.arange(n_planes))

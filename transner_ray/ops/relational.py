@@ -215,8 +215,11 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 # -------------------------------------------------- first-wins dedup
 
 def first_event_per_user_type(sf_dir: str) -> rd.Dataset:
-    """Exact dedup, first-wins (reference parser.py:90-99 pattern):
-    keep the smallest event_id per (user_id, event_type)."""
+    """Exact keyed dedup, first-wins by id: keep the smallest event_id
+    per (user_id, event_type). (The reference's key-dedup at
+    parser.py:90-99 is dict-insert/LAST-wins — see
+    ops/corpus.py::dedup_by_key_last_wins; this query demonstrates the
+    deterministic argmin variant a pipeline usually wants.)"""
     from ray.data.aggregate import Min, Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -316,7 +319,8 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
 EVENTS_SLIDING_SQL = f"""
 WITH ws AS (
   SELECT unnest(generate_series(TIMESTAMP '{SLIDE_ORIGIN}',
-                                TIMESTAMP '2024-01-31', INTERVAL 15 MINUTE)) AS w_start
+                                (SELECT max(ts) FROM events),
+                                INTERVAL 15 MINUTE)) AS w_start
 )
 SELECT w_start, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events e JOIN ws ON e.ts >= ws.w_start AND e.ts < ws.w_start + INTERVAL 60 MINUTE

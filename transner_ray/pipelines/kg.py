@@ -204,7 +204,10 @@ def run_partitioned(
             skipped.append(pid)
             continue
         t0 = timed()
-        for stage in ("triples", "mentions"):
+        # 'sm' included: a stale sm tmp dir from a killed run would be
+        # MERGED with the re-run's write (write_parquet filenames embed
+        # per-write UUIDs) and silently duplicate every sentence
+        for stage in ("triples", "mentions", "sm"):
             store.clean_incomplete(stage, pid)
         sm = sentences_dataset(read_pages(files), detect_concurrency, detect_batch_size)
         rows: dict[str, int] = {}

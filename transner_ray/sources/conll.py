@@ -27,6 +27,12 @@ import ray.data as rd
 
 Article = tuple[list[str], list[str]]  # (words, tags)
 
+# per-process block counter for unique writer filenames
+import itertools as _itertools
+import os
+
+_WRITE_SEQ = _itertools.count()
+
 
 # ------------------------------------------------------------- parsers
 
@@ -205,18 +211,23 @@ def read_corpus(paths: str | list[str], fmt: str = "conll", to_bio: bool = False
 
 def write_conll(ds: rd.Dataset, out_dir: str, augment: bool = False) -> None:
     """Distributed CoNLL writer: one output text file per block."""
-    import os
-
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
+        import itertools
         import zlib
 
         sentences = list(
             zip(batch.column("sentence").to_pylist(), batch.column("tags").to_pylist())
         )
         text = format_conll(sentences, augment=augment)
-        name = f"part-{zlib.crc32(text.encode()) & 0xFFFFFFFF:08x}.conll"
+        # unique per (worker pid, block counter): two blocks with
+        # IDENTICAL content must not collide on a content-hash name
+        seq = next(_WRITE_SEQ)
+        name = (
+            f"part-{os.getpid():06d}-{seq:04d}-"
+            f"{zlib.crc32(text.encode()) & 0xFFFFFFFF:08x}.conll"
+        )
         tmp = os.path.join(out_dir, name + ".tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(text)

@@ -53,6 +53,11 @@ def make_detect_fn(
     def detect_batch(batch: pa.Table) -> pa.Table:
         det = _WORKER_CACHE.get(key)
         if det is None:
+            # bounded: every pipeline construction puts a fresh
+            # gazetteers ObjectRef, so long-lived workers would
+            # otherwise accumulate one detector per pipeline built
+            if len(_WORKER_CACHE) >= _WORKER_CACHE_MAX:
+                _WORKER_CACHE.clear()
             det = MentionDetector(
                 gazetteers_ref, threshold, apply_regex, apply_gazetteers, apply_dates
             )
@@ -63,6 +68,7 @@ def make_detect_fn(
 
 
 _WORKER_CACHE: dict = {}
+_WORKER_CACHE_MAX = 4
 
 
 class MentionDetector:
