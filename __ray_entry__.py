@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "language_guess": textstats.language_guess,
         "word_repetition": textstats.word_repetition,
+        "curate_corpus": textstats.curate_corpus,
         # ---- dedup suite ----
         "exact_dedup": dedup.exact_dedup,                 # SQL-checked
         "minhash_dedup": dedup.minhash_dedup,             # rows-only (sketch)
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": textstats.FINGERPRINTS_SQL,
         "language_guess": textstats.LANGUAGE_GUESS_SQL,
         "word_repetition": textstats.WORD_REPETITION_SQL,
+        "curate_corpus": textstats.CURATE_CORPUS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "ann_brute_force": similarity.brute_force_topk_sql(),
         "media_metadata": multimodal.MEDIA_METADATA_SQL,

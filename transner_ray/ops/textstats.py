@@ -150,6 +150,84 @@ FROM documents d LEFT JOIN (
 """
 
 
+# ------------------------------------------------- corpus curation
+
+CURATE_MIN_CHARS = 100
+CURATE_MAX_TOP_WORD_PCT = 12  # integer percent: exact arithmetic on both sides
+
+
+def curate_corpus(sf_dir: str) -> rd.Dataset:
+    """The composite training-data curation pipeline: quality filter
+    (length + repetition ratio) ∘ exact-dedup keeper ∘ stable output —
+    the end-to-end shape a 100 TB pretraining-data job has, expressed
+    as one streaming pass plus one broadcast of the (small) dedup
+    keeper set. Returns the surviving (doc_id, n_chars, n_words)."""
+    import hashlib
+
+    import ray
+
+    # keeper set: min doc_id per distinct text (small: one id per
+    # distinct document; at corpus scale this would be a Bloom filter
+    # or a shuffle semi-join instead of a driver collect)
+    from .dedup import exact_dedup
+
+    keepers = set(exact_dedup(sf_dir).to_pandas()["keeper_doc_id"])
+    keep_ref = ray.put(keepers)
+
+    from collections import Counter
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(keep_ref)
+        rows = {"doc_id": [], "n_chars": [], "n_words": []}
+        for doc_id, t in zip(df["doc_id"], df["text"]):
+            if int(doc_id) not in keep:
+                continue  # duplicate: only the keeper survives
+            if len(t) < CURATE_MIN_CHARS:
+                continue  # too short
+            words = _WORD_RE.findall(t.lower())
+            if not words:
+                continue
+            c = Counter(words)
+            # integer comparison — immune to float boundary divergence
+            # between the engine and the SQL oracle
+            if max(c.values()) * 100 > CURATE_MAX_TOP_WORD_PCT * len(words):
+                continue  # repetitive
+            rows["doc_id"].append(int(doc_id))
+            rows["n_chars"].append(len(t))
+            rows["n_words"].append(len(words))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_chars": pd.Series(rows["n_chars"], dtype="int64"),
+                "n_words": pd.Series(rows["n_words"], dtype="int64"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas").sort(
+        "doc_id"
+    )
+
+
+CURATE_CORPUS_SQL = f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+), rep AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_count FROM (
+    SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text) AS n_chars, rep.n_words AS n_words
+FROM documents d
+JOIN keepers USING (doc_id)
+JOIN rep USING (doc_id)
+WHERE length(d.text) >= {CURATE_MIN_CHARS}
+  AND rep.top_count * 100 <= {CURATE_MAX_TOP_WORD_PCT} * rep.n_words
+ORDER BY d.doc_id
+"""
+
+
 # ------------------------------------------------------ language heuristic
 
 def language_guess(sf_dir: str) -> rd.Dataset:

@@ -151,7 +151,7 @@ def reduce_entity_bucket(df) -> pa.Table:
             "support": support.reindex(canonical.index).astype("int64").values,
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 MAX_EDGE_SOURCES = 8
@@ -232,6 +232,6 @@ def reduce_edge_bucket(df) -> pa.Table:
         .reset_index()
     )
     out = w.merge(src, on=keys)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
