@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": relational.event_props_stats,
         "priority_revenue": relational.priority_revenue,
         "events_sliding": relational.events_sliding,
+        "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         # ---- text analysis (SQL-checked) ----
         "token_counts": textstats.token_counts,
         "quality_signals": textstats.quality_signals,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "event_props_stats": relational.EVENT_PROPS_STATS_SQL,
         "priority_revenue": relational.PRIORITY_REVENUE_SQL,
         "events_sliding": relational.EVENTS_SLIDING_SQL,
+        "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_SQL,
         "kg_split_docs": r"""
             SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
                    trim(s) AS sentence

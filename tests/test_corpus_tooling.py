@@ -106,6 +106,14 @@ def test_read_corpus_ray(tmp_path):
     ]
 
 
+def test_read_corpus_wikiner_ray(tmp_path):
+    p = tmp_path / "wiki.raw"
+    p.write_text(WIKINER_TEXT.rstrip("\n") + "\n", encoding="utf-8")
+    df = conll.read_corpus(str(p), fmt="wikiner", to_bio=True).to_pandas()
+    assert list(df["sentence"]) == ["Mario Rossi va a Milano .", "Luca dorme ."]
+    assert tuple(df["tags"][0]) == ("B-PER", "I-PER", "O", "O", "B-LOC", "O")
+
+
 def test_write_conll_roundtrip(tmp_path):
     src = tmp_path / "in.conll"
     src.write_text(CONLL_TEXT.rstrip("\n") + "\nx O\n", encoding="utf-8")

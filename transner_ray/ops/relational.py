@@ -544,6 +544,47 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ----------------------------------------------- supplier dimension
+
+def supplier_balance_by_nation(sf_dir: str) -> rd.Dataset:
+    """supplier ⋈ nation (broadcast) → account-balance stats per
+    nation, only nations with suppliers."""
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = ray.put(nation)
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        n = ray.get(nation_ref)
+        j = df.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        return j.groupby("n_name", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"), sum_acctbal=("s_acctbal", "sum")
+        )
+
+    out = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+        .map_batches(join_batch, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("sum_acctbal", alias_name="sum_acctbal"),
+        )
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_acctbal"), "sum_acctbal", pc.round(t["sum_acctbal"], 4)
+        ),
+        batch_format="pyarrow",
+    ).sort("n_name")
+
+
+SUPPLIER_BALANCE_SQL = """
+SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 4) AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 # ------------------------------------------------- JSON column parse
 
 def event_props_stats(sf_dir: str) -> rd.Dataset:
