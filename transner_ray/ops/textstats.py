@@ -162,7 +162,6 @@ def curate_corpus(sf_dir: str) -> rd.Dataset:
     the end-to-end shape a 100 TB pretraining-data job has, expressed
     as one streaming pass plus one broadcast of the (small) dedup
     keeper set. Returns the surviving (doc_id, n_chars, n_words)."""
-    import hashlib
 
     import ray
 
