@@ -28,6 +28,46 @@ def test_second_seed_engine_equals_oracle(tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_extreme_skew_head_entity(tmp_path):
+    """Canonicalization under extreme skew: one entity in EVERY
+    sentence of every page. The combiner bounds its shuffle volume
+    (≤ 1 partial row per block) and the final counts must still be
+    exact vs the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from transner_ray.htmlops import wrap_html
+    from transner_ray.schemas import PAGES
+
+    rows = []
+    for i in range(60):
+        text = " ".join(
+            f"Mario Rossi lavora presso la sede centrale di Enel a Roma."
+            for _ in range(5)
+        )
+        rows.append(
+            {
+                "url": f"https://skew.example/{i:04d}",
+                "warc_ts": synth.EPOCH_BASE_US + i,
+                "html": wrap_html("t", text),
+                "text": text,
+                "lang": "it",
+            }
+        )
+    path = str(tmp_path / "skew.parquet")
+    pq_mod.write_table(pa.Table.from_pylist(rows, schema=PAGES), path)
+
+    oracle = run_oracle(rows)
+    ents = kg.entities_dataset(
+        kg.linked_triples_dataset(kg.sentences_dataset(kg.read_pages([path])))
+    ).to_pandas()
+    got = {r["entity_id"]: r["support"] for r in ents.to_dict("records")}
+    want = {e["entity_id"]: e["support"] for e in oracle["entities"]}
+    assert got == want
+    # the head entity really is extreme: present in every sentence
+    assert want["per:mario rossi"] >= 600
+
+
 def test_mention_value_matches_sentence_surface():
     """Every detected mention's value must be EXACTLY the sentence
     substring at its offset — the contract that makes offsets usable by
