@@ -130,7 +130,9 @@ def bench_queries() -> dict:
     out["lineitem_pricing"] = _timed(relational.lineitem_pricing, SF_DIR)
     out["segment_revenue"] = _timed(relational.segment_revenue, SF_DIR)
     out["events_hourly"] = _timed(relational.events_hourly, SF_DIR)
+    out["user_sessions"] = _timed(relational.user_sessions, SF_DIR)
     out["token_counts"] = _timed(textstats.token_counts, SF_DIR)
+    out["curate_corpus"] = _timed(textstats.curate_corpus, SF_DIR)
     out["exact_dedup"] = _timed(dedup.exact_dedup, SF_DIR)
     out["minhash_dedup"] = _timed(dedup.minhash_dedup, SF_DIR)
     out["ann_brute_force"] = _timed(similarity.brute_force_topk, SF_DIR)
