@@ -45,6 +45,27 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def dtype_classes(df: pd.DataFrame) -> list[str]:
+    """Coarse dtype class per (sorted) column. The driver's value hash
+    distinguishes int from float (DuckDB sum(BIGINT)→HUGEINT→float64
+    slipped through round 1 because normalize() casts within class),
+    so the gate must compare classes BEFORE normalization."""
+    out = []
+    for c in sorted(df.columns):
+        dt = df[c].dtype
+        if pd.api.types.is_bool_dtype(dt):
+            out.append("bool")
+        elif pd.api.types.is_integer_dtype(dt):
+            out.append("int")
+        elif pd.api.types.is_float_dtype(dt):
+            out.append("float")
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            out.append("datetime")
+        else:
+            out.append("other")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -71,7 +92,8 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            got = normalize(to_pandas(fn(sf_dir)))
+            got_raw = to_pandas(fn(sf_dir))
+            got = normalize(got_raw)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(exc).__name__}: {exc}")
             failures.append(name)
@@ -81,10 +103,15 @@ def main() -> int:
         if sql is None:
             print(f"ok   {name}: rows={len(got)} ({dt:.1f}s) [rows-only]")
             continue
-        want = normalize(con.sql(sql).df())
+        want_raw = con.sql(sql).df()
+        want = normalize(want_raw)
         status = []
         if list(got.columns) != list(want.columns):
             status.append(f"columns {list(got.columns)} != {list(want.columns)}")
+        elif dtype_classes(got_raw) != dtype_classes(want_raw):
+            status.append(
+                f"dtype classes {dtype_classes(got_raw)} != {dtype_classes(want_raw)}"
+            )
         elif len(got) != len(want):
             status.append(f"rows {len(got)} != {len(want)}")
         else:

@@ -618,7 +618,10 @@ def event_props_stats(sf_dir: str) -> rd.Dataset:
 
 EVENT_PROPS_STATS_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       -- CAST the sum: DuckDB sum(BIGINT) yields HUGEINT, which lands in
+       -- the comparison frame as float64 and breaks the value hash even
+       -- when every value equals the engine's int64 (round-1 root cause)
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type

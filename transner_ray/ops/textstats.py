@@ -140,7 +140,9 @@ WITH words AS (
   SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
 )
 SELECT d.doc_id,
-       coalesce(s.n_words, 0) AS n_words,
+       -- CAST: sum(BIGINT) is HUGEINT in DuckDB → float64 in the compare
+       -- frame → hash mismatch vs the engine's int64 (round-1 root cause)
+       CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
        coalesce(s.n_distinct_words, 0) AS n_distinct_words,
        coalesce(s.top_word_count, 0) AS top_word_count
 FROM documents d LEFT JOIN (
@@ -217,7 +219,8 @@ WITH keepers AS (
     SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
   ) GROUP BY doc_id
 )
-SELECT d.doc_id, length(d.text) AS n_chars, rep.n_words AS n_words
+SELECT d.doc_id, length(d.text) AS n_chars,
+       CAST(rep.n_words AS BIGINT) AS n_words  -- HUGEINT→BIGINT, see WORD_REPETITION_SQL
 FROM documents d
 JOIN keepers USING (doc_id)
 JOIN rep USING (doc_id)
