@@ -95,6 +95,32 @@ def test_resume_cleans_stale_sm_checkpoint(workdir):
     pd.testing.assert_frame_equal(e1, e2)  # weights NOT inflated
 
 
+def test_repartitioned_rerun_invalidates_stale_manifests(workdir):
+    """Regression (round-2 advice): manifest presence alone must not
+    skip a partition — re-running with a different num_partitions
+    changes each partition's file membership, so blind skipping would
+    mix old and new partition outputs (duplicated/missing docs) with
+    no error. The run must detect the input_files mismatch, invalidate
+    every stale partition (including ids beyond the new plan), and
+    produce identical output."""
+    r1 = kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=3)
+    e1 = _edges(r1["out_dir"])
+
+    # shrink the plan: 3 partitions -> 2. Old part-0002 manifest is out
+    # of range; parts 0/1 have different file membership.
+    r2 = kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=2)
+    assert r2["skipped"] == [] and r2["ran"] == [0, 1]
+    assert not os.path.exists(os.path.join(workdir["ckpt"], "manifest", "part-0002.json"))
+    assert not os.path.exists(os.path.join(workdir["ckpt"], "triples", "part=0002"))
+    e2 = _edges(r2["out_dir"])
+    pd.testing.assert_frame_equal(e1, e2)
+
+    # same plan again: everything skips, nothing re-invalidated
+    r3 = kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=2)
+    assert r3["ran"] == [] and r3["skipped"] == [0, 1]
+    pd.testing.assert_frame_equal(e1, _edges(r3["out_dir"]))
+
+
 def test_manifest_lineage_content(workdir):
     kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=3)
     with open(os.path.join(workdir["ckpt"], "manifest", "part-0000.json")) as f:

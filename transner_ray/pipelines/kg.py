@@ -185,24 +185,43 @@ def run_partitioned(
     detect_concurrency: int | tuple[int, int] | None = None,
     detect_batch_size: int = 256,
     write_mentions: bool = True,
+    wide_num_blocks: int = 8,
 ) -> dict:
     """Resumable KG job. Phase 1 (narrow, per partition): pages files →
     linked triples (+ flat mentions) parquet under ``ckpt_dir`` with a
     lineage manifest per partition; already-complete partitions are
-    SKIPPED. Phase 2 (wide, over all partition outputs): entities +
-    edges, edges globally sorted by subj_id, written under ``out_dir``
-    (defaults to ``ckpt_dir/out``).
+    SKIPPED — but only when the manifest's recorded ``input_files``
+    equals the current plan for that partition; a changed file listing
+    or ``num_partitions`` invalidates the partition and it re-runs.
+    Phase 2 (wide, over all partition outputs): entities + edges, edges
+    globally sorted by subj_id, written under ``out_dir`` (defaults to
+    ``ckpt_dir/out``). ``wide_num_blocks`` is threaded to the phase-2
+    partial coalesce (see entities_dataset).
 
     Returns {'skipped': [...], 'ran': [...], 'entities': n, 'edges': n,
     'out_dir': ...}.
     """
     store = CheckpointStore(ckpt_dir)
     parts = plan_partitions(input_files, num_partitions)
+    # Manifests for partition ids beyond the current plan (a previous
+    # run with MORE partitions) would feed phase 2 rows whose input
+    # files are also covered by the current partitions — duplicates.
+    # Invalidate them up front.
+    for pid in store.completed_partitions():
+        if pid >= len(parts):
+            os.remove(store.manifest_path(pid))
+            for stage in ("triples", "mentions", "sm"):
+                store.clean_incomplete(stage, pid)
     ran, skipped = [], []
     for pid, files in enumerate(parts):
         if store.is_complete(pid):
-            skipped.append(pid)
-            continue
+            # manifest presence alone is not enough: re-running with a
+            # different num_partitions or a changed input listing would
+            # silently skip a partition whose file membership differs
+            if store.load_manifest(pid).get("input_files") == files:
+                skipped.append(pid)
+                continue
+            os.remove(store.manifest_path(pid))  # stale → re-run below
         t0 = timed()
         # 'sm' included: a stale sm tmp dir from a killed run would be
         # MERGED with the re-run's write (write_parquet filenames embed
@@ -256,10 +275,21 @@ def run_partitioned(
     # accumulates part files.
     import shutil
 
-    triples = rd.read_parquet(store.completed_stage_files("triples"))
     out_dir = out_dir or os.path.join(ckpt_dir, "out")
-    entities = entities_dataset(triples, settle=True)
-    edges = edges_dataset(triples, settle=True)
+    triple_files = store.completed_stage_files("triples")
+    if not triple_files:
+        # no completed partitions (empty input plan): a clean no-op
+        # beats read_parquet([])'s unhelpful error
+        return {
+            "skipped": skipped,
+            "ran": ran,
+            "entities": 0,
+            "edges": 0,
+            "out_dir": out_dir,
+        }
+    triples = rd.read_parquet(triple_files)
+    entities = entities_dataset(triples, settle=True, wide_num_blocks=wide_num_blocks)
+    edges = edges_dataset(triples, settle=True, wide_num_blocks=wide_num_blocks)
     for name, ds in (("entities", entities), ("edges", edges)):
         final = os.path.join(out_dir, name)
         tmp = final + ".tmp"

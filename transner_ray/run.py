@@ -59,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=args.num_partitions,
         detect_batch_size=args.detect_batch_size,
         write_mentions=not args.no_mentions,
+        wide_num_blocks=args.wide_num_blocks,
     )
     print(json.dumps(result))
     ray.shutdown()
