@@ -166,6 +166,170 @@ def test_embedding_neardup_finds_planted(tmp_path):
     assert (0, 1) in found and (2, 3) in found
 
 
+# ----------------------------------- dedup vs sequential oracles (round 2)
+
+
+def _seq_lsh_pairs(sf_dir, featurizer, threshold):
+    """Sequential reference for the LSH dedup ops: same hash/signature
+    functions, ALL-pairs per band group (no cap), exact Jaccard. Ray
+    output must equal this exactly wherever no band group exceeds
+    GROUP_PAIR_CAP (true at this sf)."""
+    from collections import defaultdict
+
+    from transner_ray.ops import dedup
+
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    feats = {int(i): featurizer(t) for i, t in zip(df["doc_id"], df["text"])}
+    rows_per_band = dedup.NUM_PERM // dedup.NUM_BANDS
+    groups = defaultdict(set)
+    for i, f in feats.items():
+        sig = dedup._minhash_signature(f)
+        chunks = sig.reshape(dedup.NUM_BANDS, rows_per_band)
+        keys = np.bitwise_xor.reduce(chunks, axis=1) ^ np.arange(
+            dedup.NUM_BANDS, dtype=np.uint64
+        )
+        mixed = dedup._mix64(keys)
+        for b in range(dedup.NUM_BANDS):
+            groups[(b, int(mixed[b]))].add(i)
+    cand = set()
+    for ids in groups.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cand.add((ids[x], ids[y]))
+    rows = []
+    for a, b in sorted(cand):
+        ha, hb = feats[a], feats[b]
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        union = ha.size + hb.size - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            rows.append((a, b, round(j, 4)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    )
+
+
+def test_minhash_matches_sequential_oracle():
+    from transner_ray.ops import dedup
+
+    got = dedup.minhash_dedup(SF, jaccard_threshold=0.5).to_pandas().reset_index(drop=True)
+    want = _seq_lsh_pairs(SF, dedup._word_shingle_hashes, 0.5)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_ngram_jaccard_matches_sequential_oracle():
+    from transner_ray.ops import dedup
+
+    got = dedup.ngram_jaccard_dedup(SF, jaccard_threshold=0.6).to_pandas().reset_index(drop=True)
+    want = _seq_lsh_pairs(SF, dedup._char_ngram_hashes, 0.6)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_simhash_matches_bruteforce_exactly():
+    """The max_hamming+1 banding has FULL recall (pigeonhole) and the
+    verify is the exact hamming, so the op must equal the quadratic
+    brute force EXACTLY — not just contain planted pairs."""
+    from transner_ray.ops import dedup
+
+    max_h = 3
+    df = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sigs = {int(i): dedup._simhash64(t) for i, t in zip(df["doc_id"], df["text"])}
+    rows = []
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+            if h <= max_h:
+                rows.append((ids[x], ids[y], h))
+    want = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype("int64")
+    got = dedup.simhash_dedup(SF, max_hamming=max_h).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def skewed(tmp_path_factory):
+    """Adversarial band skew: 200 identical docs (every band group is
+    one giant cluster, > GROUP_PAIR_CAP) plus 10 distinct docs."""
+    texts = {}
+    boiler = "breaking news today the market moved and analysts watched closely " * 5
+    for i in range(100, 300):
+        texts[i] = boiler
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta"]
+    for i in range(10):
+        texts[i] = " ".join(vocab[j] for j in rng.integers(0, len(vocab), 40)) + f" uniq{i}"
+    d = tmp_path_factory.mktemp("skewed")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_minhash_skewed_band_emits_star_pairs(skewed):
+    """A 200-doc identical cluster must emit 199 star pairs (anchor =
+    min doc_id), NOT 19900 all-pairs — the GROUP_PAIR_CAP bound that
+    keeps a boilerplate cluster linear at corpus scale. Connectivity
+    (one component) is preserved; jaccard of every star pair is 1."""
+    from transner_ray.ops import dedup
+
+    pairs = dedup.minhash_dedup(skewed, jaccard_threshold=0.5).to_pandas()
+    cluster = pairs[(pairs["doc_a"] >= 100) | (pairs["doc_b"] >= 100)]
+    assert len(cluster) == 199
+    assert (cluster["doc_a"] == 100).all()
+    assert sorted(cluster["doc_b"]) == list(range(101, 300))
+    assert (cluster["jaccard"] == 1.0).all()
+
+
+def test_simhash_skewed_band_bounded(skewed):
+    from transner_ray.ops import dedup
+
+    pairs = dedup.simhash_dedup(skewed, max_hamming=3).to_pandas()
+    cluster = pairs[(pairs["doc_a"] >= 100) | (pairs["doc_b"] >= 100)]
+    assert len(cluster) == 199  # star, not quadratic
+    assert (cluster["doc_a"] == 100).all()
+    assert (cluster["hamming"] == 0).all()
+
+
+def test_embedding_neardup_heavy_bucket(tmp_path):
+    """Adversarially heavy SRP bucket: 300 vectors share a dominant
+    direction (most land in one bucket) but pairwise cosine stays
+    below threshold except the planted exact dup — the chunked-matmul
+    verify must stay memory-bounded and exact (pair_chunk=16 forces
+    many chunks)."""
+    from transner_ray.ops import dedup
+
+    rng = np.random.default_rng(9)
+    base = np.zeros(16)
+    base[0] = 10.0
+    vecs = base[None, :] + rng.standard_normal((300, 16)) * 1.5
+    vecs[1] = vecs[0]  # planted exact dup
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    pairs = dedup.embedding_neardup(str(tmp_path), cos_threshold=0.999, pair_chunk=16).to_pandas()
+    found = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (0, 1) in found
+    # chunked path agrees with a single dense verify
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu = np.triu_indices(300, 1)
+    n_true = int((sims[iu] >= 0.999).sum())
+    assert len(pairs) == n_true
+
+
 def test_ann_ivf_recall():
     from transner_ray.ops import similarity
 

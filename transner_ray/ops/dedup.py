@@ -1,21 +1,42 @@
 """Corpus deduplication operators: exact, MinHash+LSH, SimHash,
 n-gram Jaccard, embedding-cosine near-dup.
 
-Scale notes (the part that matters at 100 TB):
+Scale design (the part that matters at 100 TB) — round 2 rebuilt every
+path that materialized the corpus driver-side or ran one Python call
+per key:
+
 * exact dedup: content-hash added in a vectorized ``map_batches``, then
   ``groupby(hash)`` over (hash, min_id, count) PARTIALS — the shuffle
   carries one row per distinct hash per block, never the text.
-* MinHash-LSH: signatures per batch (numpy, vectorized over shingle
-  hashes) → explode to (band, band_key, doc_id) rows → banded groupby →
-  candidate pairs → Jaccard verify. The verify step here broadcasts the
-  (small) text column via ``ray.put``; at corpus scale you'd hash-join
-  the pair list back to the shingle sets instead — documented
-  partitioning assumption, same semantics.
-* SimHash: 64-bit signatures; candidates blocked on 8×8-bit bands
-  (pigeonhole: hamming ≤ 7 guaranteed found at ≥1 shared band —
-  keep SIMHASH_BANDS and any ``max_hamming`` tuning consistent).
-* embedding near-dup: sign-random-projection buckets (seeded), exact
-  cosine verify within buckets.
+* candidate pairs (MinHash / n-gram LSH): band rows carry a partition
+  bucket (``pbucket = band_key % NUM_PAIR_BUCKETS``); ONE vectorized
+  pandas self-merge per bucket generates pairs for every band group in
+  that bucket (the partitioned hash-aggregate pattern — never a Python
+  call per band key). A band group larger than ``GROUP_PAIR_CAP``
+  would emit m(m-1)/2 pairs (a boilerplate page cluster is quadratic);
+  oversized groups emit STAR pairs (anchor = min doc_id) instead —
+  linear output that preserves the connected components a dedup
+  clustering needs. Global pair-distinct is a vectorized
+  ``groupby.aggregate`` (a pair can collide in several bands), not a
+  per-pair ``map_groups``.
+* verification: shingle/ngram hash sets are kept as a per-doc BINARY
+  column (uint64 array bytes — Acero hash joins reject list columns
+  but pass binary through) and ``Dataset.join``ed back to the pair
+  list (twice: doc_a, doc_b). No text and no driver-side corpus
+  materialization anywhere — the feature dataset is ``materialize()``d
+  once so the banding pass and the two verify joins share it; a
+  resumable 100 TB job would checkpoint it to parquet instead (the
+  run_partitioned pattern), same dataflow.
+* SimHash: 64-bit signatures; candidates blocked on
+  ``max_hamming + 1`` equal-width bands (pigeonhole: hamming ≤ h ⇒ at
+  least one of h+1 bands identical → full recall), verified by exact
+  XOR-popcount INSIDE the bucketed pair reduce (signatures ride along
+  in the band rows; no verify join needed).
+* embedding near-dup: sign-random-projection buckets with the plane
+  count scaled to the corpus (target expected bucket size), exact
+  cosine verify per bucket with CHUNKED matmuls so an adversarially
+  heavy bucket is memory-bounded; buckets are reduced through a coarse
+  ``pbucket`` so the groupby shuffles a bounded number of groups.
 
 All hashes are deterministic (memoized crc32 word hashes + splitmix64
 mixing — never Python ``hash``, which is salted per process), so every
@@ -26,11 +47,15 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-import ray
 import ray.data as rd
 
 _MASK = (1 << 64) - 1
+
+NUM_PAIR_BUCKETS = 64  # partition buckets for the pair-generation reduce
+GROUP_PAIR_CAP = 128  # band groups above this emit star pairs, not all-pairs
+JOIN_NUM_PARTITIONS = 8  # hash partitions for the verify joins
 
 # per-worker cache: word -> 64-bit hash (vocabularies are Zipfian)
 _WORD_HASH_CACHE: dict[str, int] = {}
@@ -60,6 +85,15 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     x *= np.uint64(0x94D049BB133111EB)
     x ^= x >> np.uint64(31)
     return x
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
@@ -104,7 +138,8 @@ FROM documents GROUP BY text ORDER BY text_md5
 
 def _word_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Hashes of word k-shingles: per-word cached crc hashes combined
-    with a vectorized rolling mix (no per-shingle Python hashing)."""
+    with a vectorized rolling mix (no per-shingle Python hashing).
+    Returns sorted unique uint64."""
     words = text.lower().split()
     if not words:
         return np.zeros(0, dtype=np.uint64)
@@ -122,7 +157,8 @@ def _word_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 def _char_ngram_hashes(text: str, n: int = 4) -> np.ndarray:
     """Hashes of char n-grams: one numpy pass over the utf-8 bytes
-    (rolling polynomial over 4 byte lanes, then splitmix)."""
+    (rolling polynomial over 4 byte lanes, then splitmix). Returns
+    sorted unique uint64."""
     b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
@@ -135,6 +171,18 @@ def _char_ngram_hashes(text: str, n: int = 4) -> np.ndarray:
     for lane in range(n):
         acc = acc * np.uint64(0x100000001B3) + b[lane : lane + m]
     return np.unique(_mix64(acc))
+
+
+def _featurize_batch(featurizer):
+    """(doc_id, text) → (doc_id, feat BINARY): the featurizer's sorted
+    unique uint64 hash array serialized to bytes. Binary (not list)
+    because Acero hash joins accept binary payload columns only."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        blobs = [featurizer(s.as_py()).tobytes() for s in t["text"]]
+        return pa.table({"doc_id": t["doc_id"], "feat": pa.array(blobs, pa.binary())})
+
+    return fn
 
 
 # -------------------------------------------------------- MinHash + LSH
@@ -154,74 +202,132 @@ def _minhash_signature(hashes: np.ndarray) -> np.ndarray:
 
 def _band_rows(doc_ids, sigs) -> pd.DataFrame:
     """Vectorized banding: (n_docs, NUM_PERM) signatures → one row per
-    (doc, band) with a mixed band key."""
+    (doc, band) with a mixed band key and its partition bucket."""
     rows_per_band = NUM_PERM // NUM_BANDS
     S = np.stack(sigs) if sigs else np.zeros((0, NUM_PERM), dtype=np.uint64)
     n = S.shape[0]
     chunks = S.reshape(n, NUM_BANDS, rows_per_band)
     keys = np.bitwise_xor.reduce(chunks, axis=2) ^ np.arange(NUM_BANDS, dtype=np.uint64)[None, :]
-    keys = _mix64(keys.ravel()).astype("int64")
+    keys = _mix64(keys.ravel())
     return pd.DataFrame(
         {
             "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
-            "band_key": keys,
+            "band_key": keys.astype("int64"),
+            "pbucket": (keys % np.uint64(NUM_PAIR_BUCKETS)).astype("int32"),
             "doc_id": np.repeat(np.asarray(doc_ids), NUM_BANDS),
         }
     )
 
 
-def _candidate_pairs_from_bands(bands: rd.Dataset) -> rd.Dataset:
-    """(band, band_key) groups → unique candidate (doc_a < doc_b)."""
+def _minhash_band_rows(t: pa.Table) -> pd.DataFrame:
+    sigs = [
+        _minhash_signature(np.frombuffer(b.as_py(), dtype=np.uint64)) for b in t["feat"]
+    ]
+    return _band_rows(t["doc_id"].to_pylist(), sigs)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
 
-    cand = bands.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
-    # distinct pairs (a pair can collide in several bands)
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+_EMPTY_PAIRS = pd.DataFrame(
+    {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+)
+
+
+def _reduce_pair_bucket(g: pd.DataFrame, cap: int = GROUP_PAIR_CAP) -> pd.DataFrame:
+    """One vectorized pass over ALL band groups of one partition
+    bucket: all-pairs via self-merge for groups of size ≤ cap, star
+    pairs (anchor = min doc_id) above it."""
+    g = g[["band", "band_key", "doc_id"]].drop_duplicates()
+    sizes = g.groupby(["band", "band_key"])["doc_id"].transform("size")
+    out = []
+    small = g[(sizes >= 2) & (sizes <= cap)]
+    if len(small):
+        m = small.merge(small, on=["band", "band_key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out.append(m[["doc_id_x", "doc_id_y"]])
+    big = g[sizes > cap]
+    if len(big):
+        anchor = big.groupby(["band", "band_key"])["doc_id"].transform("min")
+        rest = big["doc_id"] > anchor
+        out.append(
+            pd.DataFrame(
+                {
+                    "doc_id_x": anchor[rest].to_numpy(),
+                    "doc_id_y": big.loc[rest, "doc_id"].to_numpy(),
+                }
+            )
+        )
+    if not out:
+        return _EMPTY_PAIRS.copy()
+    p = pd.concat(out, ignore_index=True).drop_duplicates()
+    p.columns = ["doc_a", "doc_b"]
+    return p.astype("int64")
+
+
+def _pairs_from_band_rows(bands: rd.Dataset) -> rd.Dataset:
+    """(band, band_key, pbucket, doc_id) rows → globally distinct
+    candidate pairs (doc_a < doc_b). Pair generation is one pandas call
+    per pbucket; global distinct is a vectorized groupby.aggregate
+    (NEVER a per-pair map_groups — one Python call per candidate pair
+    is fatal at corpus scale)."""
+    from ray.data.aggregate import Count
+
+    pairs = bands.groupby("pbucket").map_groups(_reduce_pair_bucket, batch_format="pandas")
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_nbands"))
+        .drop_columns(["_nbands"])
+        # coalesce: the sort-based aggregate emits zero-schema EMPTY
+        # blocks that the downstream hash join rejects ("no match for
+        # key field"); repartition concatenates them away (and bounds
+        # the block count feeding the join shuffle)
+        .repartition(JOIN_NUM_PARTITIONS)
     )
 
 
-def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
-    """Near-dup pairs by word-3-shingle MinHash-LSH with exact Jaccard
-    verification; returns (doc_a, doc_b, jaccard) sorted."""
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
+def _verify_pairs_jaccard(
+    pairs: rd.Dataset,
+    feats: rd.Dataset,
+    threshold: float,
+    num_partitions: int = JOIN_NUM_PARTITIONS,
+) -> rd.Dataset:
+    """Exact-Jaccard verification with NO corpus broadcast: the pair
+    list is hash-joined back to the per-doc feature blobs (twice — for
+    doc_a and doc_b; Dataset.join drops the right key column), then
+    verified per batch from the deserialized uint64 sets.
 
-    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [_minhash_signature(_word_shingle_hashes(t)) for t in df["text"]]
-        return _band_rows(list(df["doc_id"]), sigs)
-
-    bands = docs.map_batches(sig_batch, batch_format="pandas")
-    pairs = _candidate_pairs_from_bands(bands)
-
-    # broadcast text for verification (small corpus; at scale: hash-join
-    # the pair list back to shingle sets instead)
-    texts_ref = ray.put(dict(zip(*[docs.to_pandas()[c] for c in ("doc_id", "text")])))
+    The pair list is materialized first (it is tiny — candidate pairs
+    only) so the no-candidates case can short-circuit: a join over a
+    fully-empty left side has no schema to infer and fails."""
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    fa = feats.rename_columns({"feat": "feat_a"})
+    fb = feats.rename_columns({"feat": "feat_b"})
+    j = pairs.join(fa, join_type="inner", num_partitions=num_partitions, on=("doc_a",), right_on=("doc_id",))
+    # a join emits zero-schema blocks for its empty partitions; coalesce
+    # them before the second join (same reason as in _pairs_from_band_rows)
+    j = j.repartition(num_partitions)
+    j = j.join(fb, join_type="inner", num_partitions=num_partitions, on=("doc_b",), right_on=("doc_id",))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        texts = ray.get(texts_ref)
         out_a, out_b, out_j = [], [], []
-        for a, b in zip(df["doc_a"], df["doc_b"]):
-            ha = _word_shingle_hashes(texts[a])
-            hb = _word_shingle_hashes(texts[b])
-            inter = np.intersect1d(ha, hb).size
+        for a, b, ba, bb in zip(df["doc_a"], df["doc_b"], df["feat_a"], df["feat_b"]):
+            ha = np.frombuffer(ba, dtype=np.uint64)
+            hb = np.frombuffer(bb, dtype=np.uint64)
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
             union = ha.size + hb.size - inter
-            j = inter / union if union else 0.0
-            if j >= jaccard_threshold:
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
                 out_a.append(a)
                 out_b.append(b)
-                out_j.append(round(j, 4))
+                out_j.append(round(jac, 4))
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(out_a, dtype="int64"),
@@ -230,7 +336,36 @@ def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
             }
         )
 
-    return pairs.map_batches(verify, batch_format="pandas").sort(["doc_a", "doc_b"])
+    return j.map_batches(verify, batch_format="pandas").sort(["doc_a", "doc_b"])
+
+
+def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
+    """Near-dup pairs by word-3-shingle MinHash-LSH with exact Jaccard
+    verification; returns (doc_a, doc_b, jaccard) sorted. The shingle
+    sets are computed ONCE (materialized feature dataset shared by the
+    banding pass and the verify joins)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    feats = docs.map_batches(
+        _featurize_batch(_word_shingle_hashes), batch_format="pyarrow"
+    ).materialize()
+    bands = feats.map_batches(_minhash_band_rows, batch_format="pyarrow")
+    pairs = _pairs_from_band_rows(bands)
+    return _verify_pairs_jaccard(pairs, feats, jaccard_threshold)
+
+
+# ----------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_dedup(sf_dir: str, jaccard_threshold: float = 0.6) -> rd.Dataset:
+    """Char-4-gram Jaccard near-dup: MinHash-LSH candidates over char
+    n-grams, exact verification. Same machinery as minhash_dedup at the
+    character level (robust to word-order edits)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    feats = docs.map_batches(
+        _featurize_batch(_char_ngram_hashes), batch_format="pyarrow"
+    ).materialize()
+    bands = feats.map_batches(_minhash_band_rows, batch_format="pyarrow")
+    pairs = _pairs_from_band_rows(bands)
+    return _verify_pairs_jaccard(pairs, feats, jaccard_threshold)
 
 
 # -------------------------------------------------------------- SimHash
@@ -247,105 +382,142 @@ def _simhash64(text: str) -> int:
     return int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
 
 
-SIMHASH_BANDS = 8  # 8 bands × 8 bits: hamming ≤ 7 ⇒ ≥1 identical band
+def _simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per band: ``max_hamming + 1`` near-equal bands
+    over 64 bits. Pigeonhole: two signatures at hamming ≤ h differ in
+    ≤ h bands, so at least one of h+1 bands is identical → the blocking
+    has FULL recall for the requested radius. (Fewer, wider bands than
+    a fixed 8×8 split → 2^16-key space per band at h=3 instead of 2^8,
+    which keeps expected band-group size ~n/65536 instead of n/256.)"""
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    layout, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
-    """Near-dup pairs by 64-bit SimHash, candidates blocked on 8×8-bit
-    bands (pigeonhole: hamming ≤ 7 ⇒ at least one identical band, so
-    any ``max_hamming`` ≤ 7 has full recall), verified by exact
-    hamming distance. Returns (doc_a, doc_b, hamming)."""
+    """Near-dup pairs by 64-bit SimHash: candidates blocked on
+    ``max_hamming + 1`` bands (full recall by pigeonhole), exact
+    XOR-popcount hamming computed inside the bucketed pair reduce (the
+    signature rides along in the band rows — no verify join), distinct
+    via a vectorized aggregate. Returns (doc_a, doc_b, hamming)."""
+    from ray.data.aggregate import Min
+
+    layout = _simhash_band_layout(max_hamming)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [_simhash64(t) for t in df["text"]]
-        rows = {"doc_id": [], "band": [], "band_key": [], "sig": []}
-        for doc_id, s in zip(df["doc_id"], sigs):
-            for b in range(SIMHASH_BANDS):
-                rows["doc_id"].append(doc_id)
-                rows["band"].append(b)
-                rows["band_key"].append((s >> (8 * b)) & 0xFF)
-                rows["sig"].append(np.uint64(s).astype("int64"))
-        return pd.DataFrame(rows)
+        sigs = np.array([_simhash64(t) for t in df["text"]], dtype=np.uint64)
+        n = len(sigs)
+        frames = []
+        for band, (off, width) in enumerate(layout):
+            key = (sigs >> np.uint64(off)) & np.uint64((1 << width) - 1)
+            mixed = _mix64(key ^ np.uint64(band) * np.uint64(0x9E3779B97F4A7C15))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band": np.full(n, band, dtype=np.int32),
+                        "band_key": mixed.astype("int64"),
+                        "pbucket": (mixed % np.uint64(NUM_PAIR_BUCKETS)).astype("int32"),
+                        "doc_id": df["doc_id"].to_numpy(),
+                        "sig": sigs.astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     bands = docs.map_batches(sig_batch, batch_format="pandas")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = list(g["doc_id"])
-        sigs = [int(s) & _MASK for s in g["sig"]]
-        out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(sigs[i] ^ sigs[j]).count("1")
-                out["doc_a"].append(ids[i])
-                out["doc_b"].append(ids[j])
-                out["hamming"].append(d)
-        return pd.DataFrame(out)
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "band_key", "doc_id"])
+        sizes = g.groupby(["band", "band_key"])["doc_id"].transform("size")
+        frames = []
+        small = g[(sizes >= 2) & (sizes <= GROUP_PAIR_CAP)]
+        if len(small):
+            m = small.merge(small[["band", "band_key", "doc_id", "sig"]], on=["band", "band_key"])
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            frames.append(m[["doc_id_x", "doc_id_y", "sig_x", "sig_y"]])
+        big = g[sizes > GROUP_PAIR_CAP]
+        if len(big):
+            anchor_id = big.groupby(["band", "band_key"])["doc_id"].transform("min")
+            anchors = big[big["doc_id"] == anchor_id][["band", "band_key", "doc_id", "sig"]]
+            members = big[big["doc_id"] > anchor_id][["band", "band_key", "doc_id", "sig"]]
+            m = members.merge(anchors, on=["band", "band_key"], suffixes=("_y", "_x"))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id_x": m["doc_id_x"].to_numpy(),
+                        "doc_id_y": m["doc_id_y"].to_numpy(),
+                        "sig_x": m["sig_x"].to_numpy(),
+                        "sig_y": m["sig_y"].to_numpy(),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        p = pd.concat(frames, ignore_index=True).drop_duplicates(["doc_id_x", "doc_id_y"])
+        ham = _popcount64(
+            p["sig_x"].to_numpy().astype(np.uint64) ^ p["sig_y"].to_numpy().astype(np.uint64)
+        )
+        out = pd.DataFrame(
+            {
+                "doc_a": p["doc_id_x"].astype("int64").to_numpy(),
+                "doc_b": p["doc_id_y"].astype("int64").to_numpy(),
+                "hamming": ham,
+            }
+        )
+        return out[out["hamming"] <= max_hamming]
 
-    cand = bands.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["hamming"] <= max_hamming]
-
-    dedup = cand.map_batches(keep, batch_format="pandas")
+    cand = bands.groupby("pbucket").map_groups(reduce_bucket, batch_format="pandas")
     return (
-        dedup.groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
         .sort(["doc_a", "doc_b"])
     )
 
 
-# ----------------------------------------------------- n-gram Jaccard
-
-def ngram_jaccard_dedup(sf_dir: str, jaccard_threshold: float = 0.6) -> rd.Dataset:
-    """Char-4-gram Jaccard near-dup: MinHash-LSH candidates over char
-    n-grams, exact verification. Same shape as minhash_dedup but at the
-    character level (robust to word-order edits)."""
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
-
-    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [_minhash_signature(_char_ngram_hashes(t)) for t in df["text"]]
-        return _band_rows(list(df["doc_id"]), sigs)
-
-    bands = docs.map_batches(sig_batch, batch_format="pandas")
-    pairs = _candidate_pairs_from_bands(bands)
-    texts_ref = ray.put(dict(zip(*[docs.to_pandas()[c] for c in ("doc_id", "text")])))
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        texts = ray.get(texts_ref)
-        rows = {"doc_a": [], "doc_b": [], "jaccard": []}
-        for a, b in zip(df["doc_a"], df["doc_b"]):
-            ha = _char_ngram_hashes(texts[a])
-            hb = _char_ngram_hashes(texts[b])
-            inter = np.intersect1d(ha, hb).size
-            union = ha.size + hb.size - inter
-            j = inter / union if union else 0.0
-            if j >= jaccard_threshold:
-                rows["doc_a"].append(a)
-                rows["doc_b"].append(b)
-                rows["jaccard"].append(round(j, 4))
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(rows["doc_a"], dtype="int64"),
-                "doc_b": pd.Series(rows["doc_b"], dtype="int64"),
-                "jaccard": pd.Series(rows["jaccard"], dtype="float64"),
-            }
-        )
-
-    return pairs.map_batches(verify, batch_format="pandas").sort(["doc_a", "doc_b"])
-
-
 # ------------------------------------------------- embedding near-dup
 
-def embedding_neardup(sf_dir: str, cos_threshold: float = 0.9, n_planes: int = 8) -> rd.Dataset:
+EMB_TARGET_BUCKET = 64  # expected vectors per SRP bucket the planes aim for
+
+
+def embedding_neardup(
+    sf_dir: str,
+    cos_threshold: float = 0.9,
+    n_planes: int | None = None,
+    pair_chunk: int = 2048,
+) -> rd.Dataset:
     """Embedding-cosine near-dup: sign-random-projection buckets
-    (seeded hyperplanes → 2^n_planes buckets), exact cosine verify
-    within each bucket. Single-probe: pairs straddling a hyperplane can
-    be missed — the standard LSH recall tradeoff, documented."""
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    (seeded hyperplanes), exact cosine verify within each bucket.
+
+    Scale knobs: ``n_planes`` defaults to log2(n_rows /
+    EMB_TARGET_BUCKET) clamped to [8, 24] — the plane count GROWS with
+    the corpus so expected bucket size stays bounded instead of 256
+    fixed buckets swallowing millions of vectors. Verification inside
+    a bucket runs as CHUNKED matmuls (``pair_chunk`` rows at a time),
+    so an adversarially heavy bucket costs bounded memory. Buckets are
+    grouped through a coarse pbucket (one pandas call reduces many
+    fine buckets) so the shuffle sees NUM_PAIR_BUCKETS groups, not one
+    group per fine bucket. Single-probe LSH: pairs straddling a
+    hyperplane can be missed — the standard recall tradeoff,
+    documented."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if n_planes is None:
+        n_rows = pq.read_metadata(path).num_rows
+        n_planes = int(min(24, max(8, np.ceil(np.log2(max(n_rows, 2) / EMB_TARGET_BUCKET)))))
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
 
     def bucket_batch(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(df["embedding"].to_numpy())
@@ -355,10 +527,11 @@ def embedding_neardup(sf_dir: str, cos_threshold: float = 0.9, n_planes: int = 8
         planes = np.random.default_rng(7).standard_normal((vecs.shape[1], n_planes))
         norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         signs = (norm @ planes) > 0
-        bucket = signs @ (1 << np.arange(n_planes))
+        bucket = (signs @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.uint64)
         return pd.DataFrame(
             {
                 "bucket": bucket.astype("int64"),
+                "pbucket": (_mix64(bucket) % np.uint64(NUM_PAIR_BUCKETS)).astype("int32"),
                 "vec_id": df["vec_id"],
                 "embedding": list(norm),
             }
@@ -366,19 +539,33 @@ def embedding_neardup(sf_dir: str, cos_threshold: float = 0.9, n_planes: int = 8
 
     buckets = emb.map_batches(bucket_batch, batch_format="pandas")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        vecs = np.stack(g["embedding"].to_numpy())
-        sims = vecs @ vecs.T
-        out = {"vec_a": [], "vec_b": [], "cosine": []}
+    def _bucket_pairs(ids: np.ndarray, vecs: np.ndarray) -> tuple[list, list, list]:
+        out_a, out_b, out_c = [], [], []
         n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= cos_threshold:
-                    out["vec_a"].append(int(ids[i]))
-                    out["vec_b"].append(int(ids[j]))
-                    out["cosine"].append(round(float(sims[i, j]), 4))
+        for i0 in range(0, n, pair_chunk):
+            A = vecs[i0 : i0 + pair_chunk]
+            for j0 in range(i0, n, pair_chunk):
+                B = vecs[j0 : j0 + pair_chunk]
+                sims = A @ B.T
+                ii, jj = np.nonzero(sims >= cos_threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj
+                for i, j2, s in zip(gi[keep], gj[keep], sims[ii[keep], jj[keep]]):
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j2]))
+                    out_c.append(round(float(s), 4))
+        return out_a, out_b, out_c
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = {"vec_a": [], "vec_b": [], "cosine": []}
+        for _, g in group.groupby("bucket"):
+            g = g.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(g) < 2:
+                continue
+            a, b, c = _bucket_pairs(g["vec_id"].to_numpy(), np.stack(g["embedding"].to_numpy()))
+            out["vec_a"].extend(a)
+            out["vec_b"].extend(b)
+            out["cosine"].extend(c)
         return pd.DataFrame(
             {
                 "vec_a": pd.Series(out["vec_a"], dtype="int64"),
@@ -387,6 +574,6 @@ def embedding_neardup(sf_dir: str, cos_threshold: float = 0.9, n_planes: int = 8
             }
         )
 
-    return buckets.groupby("bucket").map_groups(pairs, batch_format="pandas").sort(
+    return buckets.groupby("pbucket").map_groups(reduce_bucket, batch_format="pandas").sort(
         ["vec_a", "vec_b"]
     )
