@@ -64,6 +64,23 @@ def test_events_hourly_vs_duckdb(con):
     _check(relational.events_hourly, relational.EVENTS_HOURLY_SQL, con)
 
 
+def test_bloom_anti_join_matches_exact():
+    """Force the Bloom path (exact_max=0): the prefilter + shuffle
+    left-outer backstop must stay EXACT (false positives re-checked).
+    Runs at sf0.01 — the sf0.001 result is EMPTY and an empty Dataset
+    loses its schema in to_pandas, which would vacuously pass."""
+    sf = "/root/testdata/sf0.01"
+    from transner_ray.ops import relational
+
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')")
+    c.sql(f"CREATE VIEW customer AS SELECT * FROM read_parquet('{sf}/customer.parquet')")
+    got = _norm(relational.customers_without_big_orders(sf, exact_max=0).to_pandas())
+    want = _norm(c.sql(relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL).df())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+
+
 def test_exact_dedup_vs_duckdb(con):
     from transner_ray.ops import dedup
 

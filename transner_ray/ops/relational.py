@@ -16,12 +16,15 @@ summation order cannot flip the value-hash comparison.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+
+from .dedup import _mix64
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -178,22 +181,31 @@ GROUP BY r_name ORDER BY r_name
 # ------------------------------------------- fact ⋈ dim + aggregate
 
 def segment_revenue(sf_dir: str) -> rd.Dataset:
-    """orders ⋈ customer(mktsegment) broadcast, revenue per segment."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust_ref = ray.put(cust)
+    """orders ⋈ customer(mktsegment) via ``Dataset.join`` (hash
+    shuffle join, the priority_revenue pattern), revenue per segment.
+    customer grows with the fact tables at TPC-H scale — it is NOT a
+    broadcast-safe dimension (round 1 ray.put the whole table into
+    every task); nation/region broadcasts (customers_per_region) stay
+    broadcast because those are O(1)-sized."""
+    from ray.data.aggregate import Sum
 
-    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cust_ref)
-        j = df.merge(c, left_on="o_custkey", right_on="c_custkey")
-        return j.groupby("c_mktsegment", as_index=False).agg(
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
             n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
         )
 
-    from ray.data.aggregate import Sum
-
     out = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(join_batch, batch_format="pandas")
+        joined.map_batches(partial, batch_format="pandas")
         .groupby("c_mktsegment")
         .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
     )
@@ -331,6 +343,11 @@ GROUP BY w_start, event_type ORDER BY w_start, event_type
 # --------------------------------------------------------- distinct
 
 def distinct_flag_status(sf_dir: str) -> rd.Dataset:
+    """DISTINCT = per-batch pyarrow distinct (the combiner) + a
+    vectorized groupby.aggregate over the partials — never a Python
+    call per key (map_groups head(1) is one task per distinct key)."""
+    from ray.data.aggregate import Count
+
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -339,7 +356,8 @@ def distinct_flag_status(sf_dir: str) -> rd.Dataset:
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
         .sort(["l_returnflag", "l_linestatus"])
     )
 
@@ -377,17 +395,29 @@ SELECT count(*) AS n_rows FROM (
 SESSION_GAP_MIN = 30
 
 
+USER_BUCKETS = 64
+
+
 def user_sessions(sf_dir: str) -> rd.Dataset:
     """Gap-based sessionization (the streaming-shaped workload of the
-    guide): events partitioned by user, sorted by ts within the group,
-    a new session starts after a >30-min silence. Per-user groups are
-    small → ``groupby(user).map_groups`` with vectorized pandas inside.
-    Returns one row per session."""
+    guide): a new session starts after a >30-min silence. Partitioned
+    hash-aggregate shape: users are hashed into USER_BUCKETS buckets,
+    ``groupby(bucket)`` co-locates each user's events, and ONE
+    vectorized pandas pass per bucket sessionizes every user in it
+    (sort + user-change/gap flags + cumsum) — at 10^8 users a per-user
+    ``map_groups`` is one Python task per user; this is one per
+    bucket. Returns one row per session."""
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy().astype(np.uint64)
+        df["bucket"] = (_mix64(u) % np.uint64(USER_BUCKETS)).astype("int32")
+        return df
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum().astype("int64")
+        sid = (new_user | gap).cumsum().astype("int64")
         out = g.groupby(sid).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
@@ -398,8 +428,9 @@ def user_sessions(sf_dir: str) -> rd.Dataset:
 
     return (
         _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessionize_bucket, batch_format="pandas")
         .sort(["user_id", "session_start"])
     )
 
@@ -427,17 +458,33 @@ ORDER BY user_id, session_start
 
 # ------------------------------------------------- top-k per group
 
+BRAND_BUCKETS = 16
+
+
 def top_parts_per_brand(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Per-group top-k (row_number pattern): k most expensive parts per
-    brand, ties broken by partkey."""
+    brand, ties broken by partkey. Two-level: a per-batch COMBINER
+    takes each brand's local top-k (shuffle carries ≤ k rows per brand
+    per block), then brands are hashed into BRAND_BUCKETS buckets and
+    one vectorized pandas pass per bucket finishes every brand in it —
+    no per-brand Python task even at high brand cardinality."""
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True]).head(k)
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["p_brand", "p_retailprice", "p_partkey"], ascending=[True, False, True])
+        df = df.groupby("p_brand").head(k)
+        key = pd.util.hash_pandas_object(df["p_brand"], index=False).to_numpy()
+        df["bucket"] = (key % np.uint64(BRAND_BUCKETS)).astype("int32")
+        return df
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_brand", "p_retailprice", "p_partkey"], ascending=[True, False, True])
+        return g.groupby("p_brand").head(k)[["p_partkey", "p_brand", "p_retailprice"]]
 
     return (
         _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
-        .groupby("p_brand")
-        .map_groups(topk, batch_format="pandas")
+        .map_batches(local_topk, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
         .sort(["p_brand", "p_retailprice", "p_partkey"], descending=[False, True, False])
     )
 
@@ -457,35 +504,119 @@ ORDER BY p_brand, p_retailprice DESC, p_partkey
 
 BIG_ORDER_PRICE = 200_000.0
 
+# anti-join strategy switch: exact key-array broadcast below this many
+# distinct keys, Bloom prefilter + shuffle-join backstop above it
+ANTI_JOIN_EXACT_MAX = 1 << 20
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_K = 8
 
-def customers_without_big_orders(sf_dir: str) -> rd.Dataset:
-    """Broadcast ANTI-join: the key set of customers holding an order
-    above BIG_ORDER_PRICE is collected once (small: distinct custkeys),
-    broadcast via ray.put, and customers are filtered against it inside
-    map_batches — no shuffle (semi/anti joins broadcast the key set, or
-    a Bloom filter of it at scale)."""
-    import pyarrow.compute as _pc
 
-    big = (
+def _bloom_positions(keys: np.ndarray, probe: int, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """(word index, bit mask) of each key's probe-th Bloom position."""
+    salt = np.uint64(((probe + 1) * 0xA0761D6478BD642F) & ((1 << 64) - 1))
+    h = _mix64(keys.astype(np.uint64) ^ salt) % np.uint64(m)
+    return (h >> np.uint64(6)).astype(np.int64), np.uint64(1) << (h & np.uint64(63))
+
+
+def _bloom_from_key_batches(keys_ds: rd.Dataset, column: str, m: int) -> np.ndarray:
+    """Distributed Bloom build: each block folds its keys into a
+    partial m-bit set (binary row); the driver ORs one bitset per
+    block — it never holds the raw key set."""
+    n_words = (m + 63) // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[column]).astype(np.uint64)
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for i in range(_BLOOM_K):
+            w, b = _bloom_positions(keys, i, m)
+            np.bitwise_or.at(bits, w, b)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    out = np.zeros(n_words, dtype=np.uint64)
+    for blob in keys_ds.map_batches(partial, batch_format="pyarrow").to_pandas()["bits"]:
+        out |= np.frombuffer(blob, dtype=np.uint64)
+    return out
+
+
+def _bloom_maybe(bits: np.ndarray, m: int, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: False = DEFINITELY absent (exact);
+    True = maybe present (needs the exact backstop)."""
+    res = np.ones(len(keys), dtype=bool)
+    for i in range(_BLOOM_K):
+        w, b = _bloom_positions(keys, i, m)
+        res &= (bits[w] & b) != 0
+    return res
+
+
+def customers_without_big_orders(
+    sf_dir: str, exact_max: int = ANTI_JOIN_EXACT_MAX
+) -> rd.Dataset:
+    """ANTI-join with a size-adaptive strategy. The big-order custkey
+    set is first reduced to DISTINCT keys (combiner + groupby — the
+    shuffle carries partials, not order rows). Below ``exact_max``
+    distinct keys: broadcast the sorted key array once and filter per
+    batch with np.isin (exact, no further shuffle). Above it: build a
+    Bloom filter DISTRIBUTEDLY (per-block partial bitsets OR-folded on
+    the driver — the driver never holds the key set), broadcast the
+    bits (~2 bytes/key vs ≥8 for raw keys), keep every
+    definitely-absent customer exactly, and route only the Bloom
+    "maybe" rows (true members + ~0.04% false positives at 16
+    bits/key, k=8) through a shuffle left-outer join backstop so the
+    result stays EXACT."""
+    from ray.data.aggregate import Count
+
+    big_keys = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(
-            lambda t: t.filter(_pc.greater(t["o_totalprice"], pa.scalar(BIG_ORDER_PRICE))),
+            lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(BIG_ORDER_PRICE)))
+            .group_by(["o_custkey"])
+            .aggregate([]),
             batch_format="pyarrow",
         )
-        .to_pandas()["o_custkey"]
-        .unique()
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .repartition(4)  # heal zero-schema empty blocks before join/collect
+        .materialize()  # consumed 2-3x: count, bloom build, join backstop
     )
-    keys_ref = ray.put(set(int(k) for k in big))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        have = ray.get(keys_ref)
-        return df[~df["c_custkey"].isin(have)]
+    n_big = big_keys.count()
+    if n_big <= exact_max:
+        keys = np.sort(big_keys.to_pandas()["o_custkey"].to_numpy())
+        keys_ref = ray.put(keys)
 
-    return (
-        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-        .map_batches(anti, batch_format="pandas")
-        .sort("c_custkey")
+        def anti(df: pd.DataFrame) -> pd.DataFrame:
+            have = ray.get(keys_ref)
+            return df[~np.isin(df["c_custkey"].to_numpy(), have)]
+
+        return cust.map_batches(anti, batch_format="pandas").sort("c_custkey")
+
+    m = int(max(64, n_big * _BLOOM_BITS_PER_KEY))
+    bits_ref = ray.put(_bloom_from_key_batches(big_keys, "o_custkey", m))
+
+    def split(keep_maybe: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            maybe = _bloom_maybe(ray.get(bits_ref), m, df["c_custkey"].to_numpy().astype(np.uint64))
+            return df[maybe] if keep_maybe else df[~maybe]
+
+        return fn
+
+    definite = cust.map_batches(split(False), batch_format="pandas")
+    maybes = cust.map_batches(split(True), batch_format="pandas")
+    rechecked = (
+        maybes.join(
+            big_keys,
+            join_type="left_outer",
+            num_partitions=4,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+        .map_batches(
+            lambda df: df[df["_n"].isna()][["c_custkey", "c_name", "c_acctbal"]],
+            batch_format="pandas",
+        )
     )
+    return definite.union(rechecked).sort("c_custkey")
 
 
 CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = f"""

@@ -160,29 +160,29 @@ CURATE_MAX_TOP_WORD_PCT = 12  # integer percent: exact arithmetic on both sides
 
 def curate_corpus(sf_dir: str) -> rd.Dataset:
     """The composite training-data curation pipeline: quality filter
-    (length + repetition ratio) ∘ exact-dedup keeper ∘ stable output —
-    the end-to-end shape a 100 TB pretraining-data job has, expressed
-    as one streaming pass plus one broadcast of the (small) dedup
-    keeper set. Returns the surviving (doc_id, n_chars, n_words)."""
+    (length + repetition ratio) ∘ exact-dedup keeper ∘ stable output.
+    Returns the surviving (doc_id, n_chars, n_words).
 
-    import ray
-
-    # keeper set: min doc_id per distinct text (small: one id per
-    # distinct document; at corpus scale this would be a Bloom filter
-    # or a shuffle semi-join instead of a driver collect)
-    from .dedup import exact_dedup
-
-    keepers = set(exact_dedup(sf_dir).to_pandas()["keeper_doc_id"])
-    keep_ref = ray.put(keepers)
-
+    Scale shape: ONE streaming pass computes per-doc stats and applies
+    the quality filter, then one combiner-backed ``groupby(text_md5)``
+    selects the keeper. No driver collect and no second pass (round 1
+    re-ran exact_dedup and ray.put the keeper id set — O(distinct
+    docs) driver memory). The dedup semi-join collapses into the
+    aggregate because EXACT duplicates share the text byte-for-byte,
+    so every group member has identical n_chars/n_words and an
+    identical filter verdict: a group survives wholly or not at all,
+    the keeper is Min(doc_id) over the group, and Min(n_chars)/
+    Min(n_words) are the (common) values — provably equal to the SQL
+    oracle's keepers-then-filter order. The shuffle carries one short
+    row per distinct md5 per block, never the text."""
+    import hashlib
     from collections import Counter
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        keep = ray.get(keep_ref)
-        rows = {"doc_id": [], "n_chars": [], "n_words": []}
+    from ray.data.aggregate import Min
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"text_md5": [], "doc_id": [], "n_chars": [], "n_words": []}
         for doc_id, t in zip(df["doc_id"], df["text"]):
-            if int(doc_id) not in keep:
-                continue  # duplicate: only the keeper survives
             if len(t) < CURATE_MIN_CHARS:
                 continue  # too short
             words = _WORD_RE.findall(t.lower())
@@ -193,20 +193,34 @@ def curate_corpus(sf_dir: str) -> rd.Dataset:
             # between the engine and the SQL oracle
             if max(c.values()) * 100 > CURATE_MAX_TOP_WORD_PCT * len(words):
                 continue  # repetitive
+            rows["text_md5"].append(hashlib.md5(t.encode("utf-8")).hexdigest())
             rows["doc_id"].append(int(doc_id))
             rows["n_chars"].append(len(t))
             rows["n_words"].append(len(words))
-        return pd.DataFrame(
+        g = pd.DataFrame(
             {
+                "text_md5": rows["text_md5"],
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
                 "n_chars": pd.Series(rows["n_chars"], dtype="int64"),
                 "n_words": pd.Series(rows["n_words"], dtype="int64"),
             }
         )
+        # combiner: min per md5 within the batch before the shuffle
+        return g.groupby("text_md5", as_index=False).min()
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas").sort(
-        "doc_id"
+    out = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("text_md5")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("n_chars", alias_name="n_chars"),
+            Min("n_words", alias_name="n_words"),
+        )
     )
+    return out.map_batches(
+        lambda df: df[["doc_id", "n_chars", "n_words"]], batch_format="pandas"
+    ).sort("doc_id")
 
 
 CURATE_CORPUS_SQL = f"""
