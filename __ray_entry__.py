@@ -23,6 +23,10 @@ from typing import Any
 _KG_DOCS = {"sf0.001": 150, "sf0.01": 1000, "sf0.1": 8000}
 _KG_SEED = 42
 
+# corpus-vocabulary words injected as a custom religions gazetteer for
+# the SQL-checked kg_gazetteer_mentions gate
+_KG_GAZ_WORDS = ("customer", "spark", "window")
+
 
 def _kg_pages_paths(sf_dir: str) -> list[str]:
     from transner_ray import synth
@@ -85,6 +89,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = rd.from_arrow(pages_from_documents(sf_dir)).drop_columns(["warc_ts", "text"])
         return pages.map_batches(extract_text_batch, batch_format="pyarrow")
 
+    def kg_sentences_docs(sf_dir: str):
+        """Sentence rows of the FULL spine (extract → split → detect)
+        over documents-derived pages: gates that the detect stage
+        passes sentence rows through byte-identically (the split-only
+        variant kg_split_docs cannot see a detect-stage regression).
+        The documents corpus is punctuation-free, so the sentence set
+        is SQL-derivable."""
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from transner_ray.pipelines import kg
+
+        pages = rd.from_arrow(pages_from_documents(sf_dir)).drop_columns(["warc_ts", "text"])
+        sm = kg.sentences_dataset(pages)
+        return sm.map_batches(
+            lambda t: pa.table({"url": t["url"], "sentence": t["sentence"]}),
+            batch_format="pyarrow",
+        )
+
+    def kg_gazetteer_mentions(sf_dir: str):
+        """Mention rows of the real detection stage, made SQL-checkable:
+        a custom religions gazetteer of corpus-vocabulary words is
+        injected, and over the punctuation-free documents corpus the
+        preprocessing (punctuation separation, case restore) is the
+        identity — so the reference's gazetteer semantics (one mention
+        per whitespace token in the set, offset = FIRST substring
+        occurrence, ner.py:243-251 bug kept) reduce to exact SQL:
+        strpos(text, w) - 1."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+
+        from transner_ray.gazetteers import Gazetteers
+        from transner_ray.pipelines import kg
+
+        pages = rd.from_arrow(pages_from_documents(sf_dir)).drop_columns(["warc_ts", "text"])
+        gz = Gazetteers(
+            cities=frozenset(), religions=frozenset(_KG_GAZ_WORDS)
+        )
+        men = kg.mentions_dataset(kg.sentences_dataset(pages, gazetteers=gz))
+
+        def project(t: pa.Table) -> pa.Table:
+            mask = pc.and_(
+                pc.equal(t["detector"], pa.scalar("gazetteer")),
+                pc.equal(t["type"], pa.scalar("RELIGION")),
+            )
+            t = t.filter(mask)
+            return pa.table({"url": t["url"], "value": t["value"], "offset": t["offset"]})
+
+        return men.map_batches(project, batch_format="pyarrow").sort(
+            ["url", "offset", "value"]
+        )
+
     def kg_split_docs(sf_dir: str):
         """Sentence splitter over documents-derived pages — the split
         itself is SQL-checkable (same regex semantics in DuckDB)."""
@@ -139,12 +198,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": dedup.embedding_neardup,     # rows-only (LSH)
         # ---- similarity search ----
         "ann_brute_force": similarity.brute_force_topk,   # SQL-checked
-        "ann_ivf": similarity.ivf_topk,                   # rows-only (approximate)
+        # IVF in EXACT mode (nprobe = n_centroids probes every list →
+        # provably equal to brute force → shares its SQL oracle); the
+        # approximate default stays pytest-gated (test_ann_ivf_recall)
+        "ann_ivf": lambda sf: similarity.ivf_topk(sf, nprobe=16),  # SQL-checked
         # ---- multimodal plumbing (SQL-checked metadata) ----
         "media_metadata": multimodal.media_metadata,
-        # ---- KG pipeline stages (pytest-oracle-gated; extract is SQL-checked) ----
+        # ---- KG pipeline stages (pytest-oracle-gated; the documents-
+        # derived variants are SQL-checked) ----
         "kg_extract_text": kg_extract,
         "kg_split_docs": kg_split_docs,
+        "kg_sentences_docs": kg_sentences_docs,
+        "kg_gazetteer_mentions": kg_gazetteer_mentions,
         "kg_sentences": _kg_sentences_only,
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
@@ -194,6 +259,28 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": textstats.CURATE_CORPUS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "ann_brute_force": similarity.brute_force_topk_sql(),
+        # exact-mode IVF (nprobe = n_centroids) equals brute force
+        "ann_ivf": similarity.brute_force_topk_sql(),
+        "kg_sentences_docs": r"""
+            SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   trim(s) AS sentence
+            FROM (
+              SELECT doc_id, unnest(regexp_extract_all(text, '[^.!?\n]*[.!?]+|[^.!?\n]+')) AS s
+              FROM documents
+            ) WHERE trim(s) != ''
+        """,
+        "kg_gazetteer_mentions": f"""
+            WITH toks AS (
+              SELECT doc_id, text, unnest(regexp_extract_all(text, '\\S+')) AS w
+              FROM documents
+            )
+            SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   w AS value,
+                   CAST(strpos(text, w) - 1 AS BIGINT) AS "offset"
+            FROM toks
+            WHERE w IN {_KG_GAZ_WORDS!r}
+            ORDER BY url, "offset", value
+        """,
         "media_metadata": multimodal.MEDIA_METADATA_SQL,
         "kg_extract_text": """
             SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,

@@ -56,6 +56,7 @@ def sentences_dataset(
     detect_concurrency: int | tuple[int, int] | None = None,
     detect_batch_size: int = 256,
     use_actor_pool: bool = False,
+    gazetteers=None,
 ) -> rd.Dataset:
     """pages → nested sentence-mention rows (the narrow spine).
 
@@ -66,8 +67,11 @@ def sentences_dataset(
     far exceeds the CPU count. ``use_actor_pool=True`` switches to the
     ``MentionDetector`` actor pool (the shape the BertTagger GPU stage
     uses: model load amortized across batches, ``concurrency`` ×
-    ``num_gpus`` sized to the cluster)."""
-    gz_ref = ray.put(default_gazetteers())
+    ``num_gpus`` sized to the cluster). ``gazetteers`` overrides the
+    default lookup state (custom religion/city sets — also how the
+    SQL-checked gazetteer-mention gate injects a corpus-vocabulary
+    set)."""
+    gz_ref = ray.put(gazetteers if gazetteers is not None else default_gazetteers())
     base = pages.map_batches(
         extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(split_sentences_batch, batch_format="pyarrow")
