@@ -188,7 +188,8 @@ def test_embedding_neardup_finds_planted(tmp_path):
 
 def _seq_lsh_pairs(sf_dir, featurizer, threshold):
     """Sequential reference for the LSH dedup ops: same hash/signature
-    functions, ALL-pairs per band group (no cap), exact Jaccard. Ray
+    functions, ALL-pairs per band group (no cap), the same
+    deterministic signature-estimate prefilter, exact Jaccard. Ray
     output must equal this exactly wherever no band group exceeds
     GROUP_PAIR_CAP (true at this sf)."""
     from collections import defaultdict
@@ -197,10 +198,10 @@ def _seq_lsh_pairs(sf_dir, featurizer, threshold):
 
     df = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     feats = {int(i): featurizer(t) for i, t in zip(df["doc_id"], df["text"])}
+    sigs = {i: dedup._minhash_signature(f) for i, f in feats.items()}
     rows_per_band = dedup.NUM_PERM // dedup.NUM_BANDS
     groups = defaultdict(set)
-    for i, f in feats.items():
-        sig = dedup._minhash_signature(f)
+    for i, sig in sigs.items():
         chunks = sig.reshape(dedup.NUM_BANDS, rows_per_band)
         keys = np.bitwise_xor.reduce(chunks, axis=1) ^ np.arange(
             dedup.NUM_BANDS, dtype=np.uint64
@@ -214,8 +215,11 @@ def _seq_lsh_pairs(sf_dir, featurizer, threshold):
         for x in range(len(ids)):
             for y in range(x + 1, len(ids)):
                 cand.add((ids[x], ids[y]))
+    est_cut = dedup.est_jaccard_threshold(threshold)
     rows = []
     for a, b in sorted(cand):
+        if float((sigs[a] == sigs[b]).mean()) < est_cut:
+            continue  # same deterministic prefilter as the Ray path
         ha, hb = feats[a], feats[b]
         inter = np.intersect1d(ha, hb, assume_unique=True).size
         union = ha.size + hb.size - inter

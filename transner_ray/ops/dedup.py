@@ -97,7 +97,9 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from .io import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # --------------------------------------------------------------- exact
@@ -202,21 +204,46 @@ def _minhash_signature(hashes: np.ndarray) -> np.ndarray:
 
 def _band_rows(doc_ids, sigs) -> pd.DataFrame:
     """Vectorized banding: (n_docs, NUM_PERM) signatures → one row per
-    (doc, band) with a mixed band key and its partition bucket."""
+    (doc, band) with a mixed band key, its partition bucket, and the
+    full signature blob (the estimate-then-verify prefilter needs both
+    signatures at pair-generation time)."""
     rows_per_band = NUM_PERM // NUM_BANDS
     S = np.stack(sigs) if sigs else np.zeros((0, NUM_PERM), dtype=np.uint64)
     n = S.shape[0]
     chunks = S.reshape(n, NUM_BANDS, rows_per_band)
     keys = np.bitwise_xor.reduce(chunks, axis=2) ^ np.arange(NUM_BANDS, dtype=np.uint64)[None, :]
     keys = _mix64(keys.ravel())
+    sig_blobs = [s.tobytes() for s in S]
     return pd.DataFrame(
         {
             "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
             "band_key": keys.astype("int64"),
             "pbucket": (keys % np.uint64(NUM_PAIR_BUCKETS)).astype("int32"),
             "doc_id": np.repeat(np.asarray(doc_ids), NUM_BANDS),
+            "sig": np.repeat(np.asarray(sig_blobs, dtype=object), NUM_BANDS),
         }
     )
+
+
+def est_jaccard_threshold(threshold: float, margin_sigma: float = 3.0) -> float:
+    """Signature-estimate cutoff for the candidate prefilter: the
+    matching-component fraction of two NUM_PERM minhash signatures is
+    an unbiased Jaccard estimate with std sqrt(j(1-j)/NUM_PERM); keep
+    candidates within margin_sigma below the requested threshold. A
+    DETERMINISTIC function of the (deterministic) signatures, so the
+    sequential oracle replays it bit-for-bit."""
+    sigma = float(np.sqrt(threshold * (1.0 - threshold) / NUM_PERM))
+    return max(0.0, threshold - margin_sigma * sigma)
+
+
+def _sig_est(sx, sy) -> np.ndarray:
+    """Estimated Jaccard per row from two aligned signature-blob
+    sequences: fraction of equal components, vectorized."""
+    if len(sx) == 0:
+        return np.zeros(0)
+    A = np.frombuffer(b"".join(sx), dtype=np.uint64).reshape(len(sx), NUM_PERM)
+    B = np.frombuffer(b"".join(sy), dtype=np.uint64).reshape(len(sy), NUM_PERM)
+    return (A == B).mean(axis=1)
 
 
 def _minhash_band_rows(t: pa.Table) -> pd.DataFrame:
@@ -231,56 +258,148 @@ _EMPTY_PAIRS = pd.DataFrame(
 )
 
 
-def _reduce_pair_bucket(g: pd.DataFrame, cap: int = GROUP_PAIR_CAP) -> pd.DataFrame:
+def _make_reduce_pair_bucket(est_cut: float, cap: int = GROUP_PAIR_CAP):
     """One vectorized pass over ALL band groups of one partition
     bucket: all-pairs via self-merge for groups of size ≤ cap, star
-    pairs (anchor = min doc_id) above it."""
-    g = g[["band", "band_key", "doc_id"]].drop_duplicates()
-    sizes = g.groupby(["band", "band_key"])["doc_id"].transform("size")
-    out = []
-    small = g[(sizes >= 2) & (sizes <= cap)]
-    if len(small):
-        m = small.merge(small, on=["band", "band_key"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out.append(m[["doc_id_x", "doc_id_y"]])
-    big = g[sizes > cap]
-    if len(big):
-        anchor = big.groupby(["band", "band_key"])["doc_id"].transform("min")
-        rest = big["doc_id"] > anchor
-        out.append(
-            pd.DataFrame(
-                {
-                    "doc_id_x": anchor[rest].to_numpy(),
-                    "doc_id_y": big.loc[rest, "doc_id"].to_numpy(),
-                }
-            )
+    pairs (anchor = min doc_id) above it, then the signature-estimate
+    prefilter (``est_cut``) — candidates whose estimated Jaccard is
+    hopeless never leave the bucket, so the expensive verify join
+    moves blobs only for plausible pairs (measured: 458k → ~3k
+    candidates on a high-char-overlap corpus)."""
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "band_key", "doc_id"])[
+            ["band", "band_key", "doc_id", "sig"]
+        ]
+        sizes = g.groupby(["band", "band_key"])["doc_id"].transform("size")
+        frames = []
+        small = g[(sizes >= 2) & (sizes <= cap)]
+        if len(small):
+            m = small.merge(small, on=["band", "band_key"])
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            frames.append(m[["doc_id_x", "doc_id_y", "sig_x", "sig_y"]])
+        big = g[sizes > cap]
+        if len(big):
+            anchor_id = big.groupby(["band", "band_key"])["doc_id"].transform("min")
+            anchors = big[big["doc_id"] == anchor_id][["band", "band_key", "doc_id", "sig"]]
+            members = big[big["doc_id"] > anchor_id][["band", "band_key", "doc_id", "sig"]]
+            m = members.merge(anchors, on=["band", "band_key"], suffixes=("_y", "_x"))
+            frames.append(m[["doc_id_x", "doc_id_y", "sig_x", "sig_y"]])
+        if not frames:
+            return _EMPTY_PAIRS.copy()
+        p = pd.concat(frames, ignore_index=True).drop_duplicates(["doc_id_x", "doc_id_y"])
+        p = p[_sig_est(p["sig_x"].tolist(), p["sig_y"].tolist()) >= est_cut]
+        return pd.DataFrame(
+            {
+                "doc_a": p["doc_id_x"].astype("int64").to_numpy(),
+                "doc_b": p["doc_id_y"].astype("int64").to_numpy(),
+            }
         )
-    if not out:
-        return _EMPTY_PAIRS.copy()
-    p = pd.concat(out, ignore_index=True).drop_duplicates()
-    p.columns = ["doc_a", "doc_b"]
-    return p.astype("int64")
+
+    return reduce
 
 
-def _pairs_from_band_rows(bands: rd.Dataset) -> rd.Dataset:
-    """(band, band_key, pbucket, doc_id) rows → globally distinct
-    candidate pairs (doc_a < doc_b). Pair generation is one pandas call
-    per pbucket; global distinct is a vectorized groupby.aggregate
-    (NEVER a per-pair map_groups — one Python call per candidate pair
-    is fatal at corpus scale)."""
-    from ray.data.aggregate import Count
+def _add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition bucket of a (doc_a, doc_b) pair, mixed over both ids."""
+    a = df["doc_a"].to_numpy().astype(np.uint64)
+    b = df["doc_b"].to_numpy().astype(np.uint64)
+    df["_pb"] = (
+        _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ _mix64(b)) % np.uint64(NUM_PAIR_BUCKETS)
+    ).astype("int32")
+    return df
 
-    pairs = bands.groupby("pbucket").map_groups(_reduce_pair_bucket, batch_format="pandas")
+
+def _distinct_pairs(pairs: rd.Dataset, keep: list[str]) -> rd.Dataset:
+    """Globally distinct (doc_a, doc_b) via the partitioned
+    hash-aggregate: bucket on the mixed pair hash, ONE vectorized
+    pandas drop_duplicates per bucket. NEVER a per-pair map_groups —
+    and not ``groupby.aggregate`` either: Ray's sort-based aggregate
+    combines per key in Python (measured 82 s for 458k distinct pairs
+    vs ~2 s for the bucketed reduce)."""
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[keep]
+
     return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_nbands"))
-        .drop_columns(["_nbands"])
-        # coalesce: the sort-based aggregate emits zero-schema EMPTY
-        # blocks that the downstream hash join rejects ("no match for
-        # key field"); repartition concatenates them away (and bounds
-        # the block count feeding the join shuffle)
-        .repartition(JOIN_NUM_PARTITIONS)
+        pairs.map_batches(_add_pair_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(reduce, batch_format="pandas")
     )
+
+
+def _pairs_from_band_rows(bands: rd.Dataset, est_cut: float) -> rd.Dataset:
+    """(band, band_key, pbucket, doc_id, sig) rows → estimate-
+    prefiltered candidate pairs (doc_a < doc_b), one pandas call per
+    pbucket. NOT globally distinct yet — a pair can collide in several
+    bands (hence several pbuckets); the verify join dedupes it for
+    free in its first attach round (duplicates share doc_a, so they
+    co-locate), saving a dedicated distinct shuffle."""
+    return bands.groupby("pbucket").map_groups(
+        _make_reduce_pair_bucket(est_cut), batch_format="pandas"
+    )
+
+
+def _attach_feats(
+    pairs: rd.Dataset,
+    feats: rd.Dataset,
+    key_col: str,
+    out_col: str,
+    carry: dict[str, object],
+    dedupe_on: list[str] | None = None,
+) -> rd.Dataset:
+    """Reduce-side hash join: attach ``feats.feat`` to each pair row
+    whose ``key_col`` equals ``feats.doc_id``, named ``out_col``.
+
+    Same hash-partitioned dataflow as ``Dataset.join`` (both sides
+    bucketed on the key, matched inside the partition), built from
+    union + the bucketed-groupby reduce the rest of the repo uses.
+    Measured rationale: Ray's hash-shuffle join OPERATOR spins up
+    ``num_partitions`` aggregator actors per join — two chained joins
+    cost ~27 s of fixed overhead in this sandbox for a 256-pair list,
+    vs ~2 s for the sort-shuffle groupby. ``carry`` maps the pair
+    columns to pass through to their null-placeholder (int → -1,
+    binary → b"") so both union sides share one schema."""
+    cols = list(carry)
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["_k"] = df[key_col].astype("int64")
+        out["_feat"] = [b""] * len(df)
+        out["_side"] = np.int8(1)
+        out["_bucket"] = (
+            _mix64(out["_k"].to_numpy().astype(np.uint64)) % np.uint64(NUM_PAIR_BUCKETS)
+        ).astype("int32")
+        return out[cols + ["_k", "_feat", "_side", "_bucket"]]
+
+    def feat_rows(t: pa.Table) -> pd.DataFrame:
+        k = np.asarray(t["doc_id"]).astype("int64")
+        out = pd.DataFrame({c: [default] * len(k) for c, default in carry.items()})
+        for c, default in carry.items():
+            if isinstance(default, int):
+                out[c] = out[c].astype("int64")
+        out["_k"] = k
+        out["_feat"] = t["feat"].to_pylist()
+        out["_side"] = np.int8(0)
+        out["_bucket"] = (
+            _mix64(k.astype(np.uint64)) % np.uint64(NUM_PAIR_BUCKETS)
+        ).astype("int32")
+        return out[cols + ["_k", "_feat", "_side", "_bucket"]]
+
+    unioned = pairs.map_batches(pair_rows, batch_format="pandas").union(
+        feats.map_batches(feat_rows, batch_format="pyarrow")
+    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["_side"] == 0][["_k", "_feat"]].rename(columns={"_feat": out_col})
+        p = g[g["_side"] == 1][cols + ["_k"]]
+        if dedupe_on:
+            # duplicates of a pair share key_col → co-located here, so
+            # global pair-distinct is free in this round
+            p = p.drop_duplicates(dedupe_on)
+        m = p.merge(f, on="_k")
+        return m[cols + [out_col]]
+
+    return unioned.groupby("_bucket").map_groups(reduce, batch_format="pandas")
 
 
 def _verify_pairs_jaccard(
@@ -291,8 +410,8 @@ def _verify_pairs_jaccard(
 ) -> rd.Dataset:
     """Exact-Jaccard verification with NO corpus broadcast: the pair
     list is hash-joined back to the per-doc feature blobs (twice — for
-    doc_a and doc_b; Dataset.join drops the right key column), then
-    verified per batch from the deserialized uint64 sets.
+    doc_a and doc_b, via the bucketed reduce-side join), then verified
+    per batch from the deserialized uint64 sets.
 
     The pair list is materialized first (it is tiny — candidate pairs
     only) so the no-candidates case can short-circuit: a join over a
@@ -308,13 +427,17 @@ def _verify_pairs_jaccard(
                 }
             )
         )
-    fa = feats.rename_columns({"feat": "feat_a"})
-    fb = feats.rename_columns({"feat": "feat_b"})
-    j = pairs.join(fa, join_type="inner", num_partitions=num_partitions, on=("doc_a",), right_on=("doc_id",))
-    # a join emits zero-schema blocks for its empty partitions; coalesce
-    # them before the second join (same reason as in _pairs_from_band_rows)
-    j = j.repartition(num_partitions)
-    j = j.join(fb, join_type="inner", num_partitions=num_partitions, on=("doc_b",), right_on=("doc_id",))
+    j = _attach_feats(
+        pairs,
+        feats,
+        "doc_a",
+        "feat_a",
+        {"doc_a": -1, "doc_b": -1},
+        dedupe_on=["doc_a", "doc_b"],
+    )
+    j = _attach_feats(
+        j, feats, "doc_b", "feat_b", {"doc_a": -1, "doc_b": -1, "feat_a": b""}
+    )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
@@ -349,7 +472,7 @@ def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
         _featurize_batch(_word_shingle_hashes), batch_format="pyarrow"
     ).materialize()
     bands = feats.map_batches(_minhash_band_rows, batch_format="pyarrow")
-    pairs = _pairs_from_band_rows(bands)
+    pairs = _pairs_from_band_rows(bands, est_jaccard_threshold(jaccard_threshold))
     return _verify_pairs_jaccard(pairs, feats, jaccard_threshold)
 
 
@@ -364,7 +487,7 @@ def ngram_jaccard_dedup(sf_dir: str, jaccard_threshold: float = 0.6) -> rd.Datas
         _featurize_batch(_char_ngram_hashes), batch_format="pyarrow"
     ).materialize()
     bands = feats.map_batches(_minhash_band_rows, batch_format="pyarrow")
-    pairs = _pairs_from_band_rows(bands)
+    pairs = _pairs_from_band_rows(bands, est_jaccard_threshold(jaccard_threshold))
     return _verify_pairs_jaccard(pairs, feats, jaccard_threshold)
 
 
@@ -404,9 +527,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     ``max_hamming + 1`` bands (full recall by pigeonhole), exact
     XOR-popcount hamming computed inside the bucketed pair reduce (the
     signature rides along in the band rows — no verify join), distinct
-    via a vectorized aggregate. Returns (doc_a, doc_b, hamming)."""
-    from ray.data.aggregate import Min
-
+    via the bucketed reduce. Returns (doc_a, doc_b, hamming)."""
     layout = _simhash_band_layout(max_hamming)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
@@ -479,11 +600,9 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         return out[out["hamming"] <= max_hamming]
 
     cand = bands.groupby("pbucket").map_groups(reduce_bucket, batch_format="pandas")
-    return (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-        .sort(["doc_a", "doc_b"])
-    )
+    # distinct via the bucketed reduce (hamming is identical on every
+    # duplicate of a pair, so drop_duplicates IS the Min aggregate)
+    return _distinct_pairs(cand, ["doc_a", "doc_b", "hamming"]).sort(["doc_a", "doc_b"])
 
 
 # ------------------------------------------------- embedding near-dup
@@ -517,7 +636,9 @@ def embedding_neardup(
     if n_planes is None:
         n_rows = pq.read_metadata(path).num_rows
         n_planes = int(min(24, max(8, np.ceil(np.log2(max(n_rows, 2) / EMB_TARGET_BUCKET)))))
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    from .io import read_parquet_sized
+
+    emb = read_parquet_sized(path, columns=["vec_id", "embedding"])
 
     def bucket_batch(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(df["embedding"].to_numpy())

@@ -34,7 +34,9 @@ def media_from_documents(sf_dir: str) -> rd.Dataset:
     """Synthesize a media table from `documents`: media_id = doc_id,
     payload = the utf-8 text bytes inside the fake container, width and
     height deterministic functions of doc_id (SQL-reproducible)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from .io import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def make(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()

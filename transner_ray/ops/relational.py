@@ -28,7 +28,9 @@ from .dedup import _mix64
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from .io import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ------------------------------------------------------------------ Q1-ish

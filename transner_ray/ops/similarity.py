@@ -20,7 +20,9 @@ import ray.data as rd
 
 
 def _read_emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from .io import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _query_vector(sf_dir: str, query_vec_id: int = 0) -> np.ndarray:

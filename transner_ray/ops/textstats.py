@@ -22,7 +22,9 @@ _WORD_RE = re.compile(r"[a-z]+")
 
 
 def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from .io import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ----------------------------------------------------------- token count
