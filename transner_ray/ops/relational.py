@@ -296,24 +296,42 @@ SLIDE_ORIGIN = "2024-01-01"
 
 
 def events_sliding(sf_dir: str) -> rd.Dataset:
-    """Sliding window (60-min window, 15-min slide): each event is
-    flat-mapped to the 4 window starts containing it (vectorized:
-    floor-to-15-min plus three shifts), then combiner + groupby — the
-    batch-engine expression of a sliding stream window."""
+    """Sliding window (60-min window, 15-min slide): events are
+    pre-aggregated to their 15-min base bucket FIRST, and only the
+    bucket PARTIALS are fanned out to the 4 window starts containing
+    them (a 60-min window sum is exactly the sum of its four 15-min
+    buckets) — the expansion and the shuffle see one row per distinct
+    (bucket, type) per batch instead of 4 rows per event."""
     from ray.data.aggregate import Sum
 
     origin = pd.Timestamp(SLIDE_ORIGIN)
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
-        base = df["ts"].dt.floor("15min")
+        g = pd.DataFrame(
+            {
+                "base": df["ts"].dt.floor("15min"),
+                "event_type": df["event_type"],
+                "value": df["value"],
+            }
+        ).groupby(["base", "event_type"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
         frames = []
         for k in range(4):
-            w = base - pd.Timedelta(minutes=15 * k)
-            frames.append(pd.DataFrame({"w_start": w, "event_type": df["event_type"], "value": df["value"]}))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "w_start": g["base"] - pd.Timedelta(minutes=15 * k),
+                        "event_type": g["event_type"],
+                        "n": g["n"],
+                        "sum_value": g["sum_value"],
+                    }
+                )
+            )
         out = pd.concat(frames, ignore_index=True)
         out = out[out["w_start"] >= origin]
         return out.groupby(["w_start", "event_type"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
+            n=("n", "sum"), sum_value=("sum_value", "sum")
         )
 
     out = (
