@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_signals": textstats.quality_signals,
         "fingerprints": textstats.fingerprints,
         "language_guess": textstats.language_guess,
+        "stopword_stats": textstats.stopword_stats,
         "word_repetition": textstats.word_repetition,
         "curate_corpus": textstats.curate_corpus,
         # ---- dedup suite ----
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": textstats.QUALITY_SIGNALS_SQL,
         "fingerprints": textstats.FINGERPRINTS_SQL,
         "language_guess": textstats.LANGUAGE_GUESS_SQL,
+        "stopword_stats": textstats.stopword_stats_sql(),
         "word_repetition": textstats.WORD_REPETITION_SQL,
         "curate_corpus": textstats.CURATE_CORPUS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,

@@ -246,6 +246,39 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------------------------------------------ stopword signal
+
+def stopword_stats(sf_dir: str) -> rd.Dataset:
+    """Stopword-density quality signal (a natural-text-vs-boilerplate
+    discriminator in training-data pipelines): exact integer counts so
+    the oracle comparison is bitwise; a downstream filter would
+    threshold n_stopwords / n_words."""
+    en = STOPWORDS["en"]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        words_list = [_WORD_RE.findall(t.lower()) for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": pd.Series([len(w) for w in words_list], dtype="int64"),
+                "n_stopwords": pd.Series(
+                    [sum(1 for x in w if x in en) for w in words_list], dtype="int64"
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def stopword_stats_sql() -> str:
+    return f"""
+SELECT doc_id,
+       length(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+       {_sql_hits('en')} AS n_stopwords
+FROM documents
+"""
+
+
 # ------------------------------------------------------ language heuristic
 
 def language_guess(sf_dir: str) -> rd.Dataset:
