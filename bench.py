@@ -135,6 +135,9 @@ def bench_queries() -> dict:
     out["curate_corpus"] = _timed(textstats.curate_corpus, SF_DIR)
     out["exact_dedup"] = _timed(dedup.exact_dedup, SF_DIR)
     out["minhash_dedup"] = _timed(dedup.minhash_dedup, SF_DIR)
+    out["simhash_dedup"] = _timed(dedup.simhash_dedup, SF_DIR)
+    out["ngram_jaccard_dedup"] = _timed(dedup.ngram_jaccard_dedup, SF_DIR)
+    out["events_sliding"] = _timed(relational.events_sliding, SF_DIR)
     out["ann_brute_force"] = _timed(similarity.brute_force_topk, SF_DIR)
     return out
 

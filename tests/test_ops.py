@@ -351,6 +351,30 @@ def test_embedding_neardup_heavy_bucket(tmp_path):
     assert len(pairs) == n_true
 
 
+def test_dedup_invariant_to_block_count(monkeypatch):
+    """Partitioning invariance: the near-dup pair set must be
+    byte-identical at different input block counts (all hashing is
+    deterministic and bucketed reduces are order-insensitive)."""
+    import ray.data as rdata
+
+    from transner_ray.ops import dedup
+    from transner_ray.ops import io as ops_io
+
+    results = []
+    for nb in (2, 13):
+        monkeypatch.setattr(
+            ops_io,
+            "read_parquet_sized",
+            lambda p, columns=None, n=nb: rdata.read_parquet(
+                p, columns=columns, override_num_blocks=n
+            ),
+        )
+        results.append(
+            dedup.minhash_dedup(SF, jaccard_threshold=0.5).to_pandas().reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(results[0], results[1])
+
+
 def test_ann_ivf_recall():
     from transner_ray.ops import similarity
 

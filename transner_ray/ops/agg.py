@@ -1,0 +1,59 @@
+"""Partitioned hash-aggregate helper shared by the ops layer.
+
+Ray's sort-based ``groupby().aggregate()`` combines per key in Python
+(measured in this repo: 82 s for 458k distinct keys vs ~2 s for the
+bucketed reduce), so every HIGH-CARDINALITY grouped reduction routes
+through ``bucketed_group_reduce``: rows get a deterministic
+``hash(key) % num_buckets`` column, the shuffle exchanges
+``num_buckets`` coarse partitions, and ONE vectorized pandas call per
+bucket reduces every key in it — Python cost O(buckets), not O(keys).
+Low-cardinality groupbys (a handful of flags/segments/priorities) keep
+the plain aggregate, where its per-key cost is irrelevant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from .dedup import _mix64
+
+NUM_AGG_BUCKETS = 64
+
+
+def hash_str_col(col: pd.Series) -> np.ndarray:
+    """Deterministic uint64 hash of a string column (fixed-key
+    siphash via pandas — stable across processes and runs)."""
+    return pd.util.hash_pandas_object(col, index=False).to_numpy()
+
+
+def hash_int_col(col: pd.Series) -> np.ndarray:
+    return _mix64(col.to_numpy().astype(np.uint64))
+
+
+def bucketed_group_reduce(
+    ds: rd.Dataset,
+    key_hash: Callable[[pd.DataFrame], np.ndarray],
+    reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = NUM_AGG_BUCKETS,
+) -> rd.Dataset:
+    """``reduce_fn`` sees all rows of every key whose hash lands in
+    one bucket (keys are never split across buckets) and must perform
+    the in-pandas groupby itself — one call per bucket."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = (key_hash(df) % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return reduce_fn(g.drop(columns=["_b"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(reduce, batch_format="pandas")
+    )

@@ -15,8 +15,11 @@ per key:
   call per band key). A band group larger than ``GROUP_PAIR_CAP``
   would emit m(m-1)/2 pairs (a boilerplate page cluster is quadratic);
   oversized groups emit STAR pairs (anchor = min doc_id) instead —
-  linear output that preserves the connected components a dedup
-  clustering needs. Global pair-distinct is a vectorized
+  linear output that keeps every member connected to the group anchor.
+  Documented recall bound: a member↔member pair ALL of whose shared
+  bands land in oversized groups is found only through the verify of
+  its anchor edges or its other-band collisions (see
+  ``_band_group_pairs``). Global pair-distinct is a vectorized
   ``groupby.aggregate`` (a pair can collide in several bands), not a
   per-pair ``map_groups``.
 * verification: shingle/ngram hash sets are kept as a per-doc BINARY
@@ -106,10 +109,12 @@ def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """Keeper (min doc_id) + copy count per distinct text. The shuffle
-    key is the md5, not the text."""
+    key is the md5, not the text; the reduce is the bucketed
+    hash-aggregate (md5 cardinality = one key per distinct document —
+    far too high for the per-key sort-aggregate)."""
     import hashlib
 
-    from ray.data.aggregate import Min, Sum
+    from .agg import bucketed_group_reduce, hash_str_col
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]]
@@ -118,16 +123,16 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
             keeper_doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
         )
 
-    return (
-        _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("text_md5")
-        .aggregate(
-            Min("keeper_doc_id", alias_name="keeper_doc_id"),
-            Sum("n_copies", alias_name="n_copies"),
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_md5", as_index=False).agg(
+            keeper_doc_id=("keeper_doc_id", "min"), n_copies=("n_copies", "sum")
         )
-        .sort("text_md5")
-    )
+
+    return bucketed_group_reduce(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pandas"),
+        lambda df: hash_str_col(df["text_md5"]),
+        reduce,
+    ).sort("text_md5")
 
 
 EXACT_DEDUP_SQL = """
@@ -258,36 +263,51 @@ _EMPTY_PAIRS = pd.DataFrame(
 )
 
 
+def _band_group_pairs(g: pd.DataFrame, cap: int = GROUP_PAIR_CAP) -> pd.DataFrame | None:
+    """Candidate pairs for every (band, band_key) group of one
+    partition bucket in one vectorized pass: all-pairs via self-merge
+    for groups of size ≤ cap, anchor-star pairs (anchor = min doc_id)
+    above it. ``g`` must carry a ``sig`` column, which rides along as
+    sig_x/sig_y. Shared by the MinHash and SimHash reducers so the
+    star/cap logic cannot diverge. Returns None when no group pairs.
+
+    Recall note for the star cap: within an oversized group only
+    anchor↔member pairs are generated — a member↔member near-dup pair
+    whose EVERY shared band lands in an oversized group is missed (it
+    is still found when any of its other bands collide in a group
+    ≤ cap). The alternative is m(m-1)/2 pairs for a boilerplate
+    cluster, which is the scale failure this cap exists to prevent."""
+    g = g.drop_duplicates(["band", "band_key", "doc_id"])[["band", "band_key", "doc_id", "sig"]]
+    sizes = g.groupby(["band", "band_key"])["doc_id"].transform("size")
+    frames = []
+    small = g[(sizes >= 2) & (sizes <= cap)]
+    if len(small):
+        m = small.merge(small, on=["band", "band_key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        frames.append(m[["doc_id_x", "doc_id_y", "sig_x", "sig_y"]])
+    big = g[sizes > cap]
+    if len(big):
+        anchor_id = big.groupby(["band", "band_key"])["doc_id"].transform("min")
+        anchors = big[big["doc_id"] == anchor_id][["band", "band_key", "doc_id", "sig"]]
+        members = big[big["doc_id"] > anchor_id][["band", "band_key", "doc_id", "sig"]]
+        m = members.merge(anchors, on=["band", "band_key"], suffixes=("_y", "_x"))
+        frames.append(m[["doc_id_x", "doc_id_y", "sig_x", "sig_y"]])
+    if not frames:
+        return None
+    return pd.concat(frames, ignore_index=True).drop_duplicates(["doc_id_x", "doc_id_y"])
+
+
 def _make_reduce_pair_bucket(est_cut: float, cap: int = GROUP_PAIR_CAP):
-    """One vectorized pass over ALL band groups of one partition
-    bucket: all-pairs via self-merge for groups of size ≤ cap, star
-    pairs (anchor = min doc_id) above it, then the signature-estimate
-    prefilter (``est_cut``) — candidates whose estimated Jaccard is
-    hopeless never leave the bucket, so the expensive verify join
-    moves blobs only for plausible pairs (measured: 458k → ~3k
-    candidates on a high-char-overlap corpus)."""
+    """Band-group pair generation + the signature-estimate prefilter
+    (``est_cut``) — candidates whose estimated Jaccard is hopeless
+    never leave the bucket, so the expensive verify join moves blobs
+    only for plausible pairs (measured: 458k → ~3k candidates on a
+    high-char-overlap corpus)."""
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band", "band_key", "doc_id"])[
-            ["band", "band_key", "doc_id", "sig"]
-        ]
-        sizes = g.groupby(["band", "band_key"])["doc_id"].transform("size")
-        frames = []
-        small = g[(sizes >= 2) & (sizes <= cap)]
-        if len(small):
-            m = small.merge(small, on=["band", "band_key"])
-            m = m[m["doc_id_x"] < m["doc_id_y"]]
-            frames.append(m[["doc_id_x", "doc_id_y", "sig_x", "sig_y"]])
-        big = g[sizes > cap]
-        if len(big):
-            anchor_id = big.groupby(["band", "band_key"])["doc_id"].transform("min")
-            anchors = big[big["doc_id"] == anchor_id][["band", "band_key", "doc_id", "sig"]]
-            members = big[big["doc_id"] > anchor_id][["band", "band_key", "doc_id", "sig"]]
-            m = members.merge(anchors, on=["band", "band_key"], suffixes=("_y", "_x"))
-            frames.append(m[["doc_id_x", "doc_id_y", "sig_x", "sig_y"]])
-        if not frames:
+        p = _band_group_pairs(g, cap)
+        if p is None:
             return _EMPTY_PAIRS.copy()
-        p = pd.concat(frames, ignore_index=True).drop_duplicates(["doc_id_x", "doc_id_y"])
         p = p[_sig_est(p["sig_x"].tolist(), p["sig_y"].tolist()) >= est_cut]
         return pd.DataFrame(
             {
@@ -554,31 +574,8 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     bands = docs.map_batches(sig_batch, batch_format="pandas")
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band", "band_key", "doc_id"])
-        sizes = g.groupby(["band", "band_key"])["doc_id"].transform("size")
-        frames = []
-        small = g[(sizes >= 2) & (sizes <= GROUP_PAIR_CAP)]
-        if len(small):
-            m = small.merge(small[["band", "band_key", "doc_id", "sig"]], on=["band", "band_key"])
-            m = m[m["doc_id_x"] < m["doc_id_y"]]
-            frames.append(m[["doc_id_x", "doc_id_y", "sig_x", "sig_y"]])
-        big = g[sizes > GROUP_PAIR_CAP]
-        if len(big):
-            anchor_id = big.groupby(["band", "band_key"])["doc_id"].transform("min")
-            anchors = big[big["doc_id"] == anchor_id][["band", "band_key", "doc_id", "sig"]]
-            members = big[big["doc_id"] > anchor_id][["band", "band_key", "doc_id", "sig"]]
-            m = members.merge(anchors, on=["band", "band_key"], suffixes=("_y", "_x"))
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_id_x": m["doc_id_x"].to_numpy(),
-                        "doc_id_y": m["doc_id_y"].to_numpy(),
-                        "sig_x": m["sig_x"].to_numpy(),
-                        "sig_y": m["sig_y"].to_numpy(),
-                    }
-                )
-            )
-        if not frames:
+        p = _band_group_pairs(g)
+        if p is None:
             return pd.DataFrame(
                 {
                     "doc_a": pd.Series([], dtype="int64"),
@@ -586,7 +583,6 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
-        p = pd.concat(frames, ignore_index=True).drop_duplicates(["doc_id_x", "doc_id_y"])
         ham = _popcount64(
             p["sig_x"].to_numpy().astype(np.uint64) ^ p["sig_y"].to_numpy().astype(np.uint64)
         )

@@ -6,9 +6,9 @@ downstream sort/groupby/union then pays per-block task dispatch that
 dwarfs the actual compute on this class of host (measured:
 minhash_dedup at sf0.1 dropped 12 s → 2.3 s purely from right-sizing
 the read). ``read_parquet_sized`` caps the block count proportionally
-to FILE SIZE for small inputs (~16 MiB per block, floor 4) and leaves
-large inputs to Ray's own byte-targeted splitting — at 100 TB nothing
-changes, block count keeps scaling with the data.
+to FILE SIZE for small inputs (16 base blocks + ~1 per 16 MiB) and
+leaves large inputs to Ray's own byte-targeted splitting — at 100 TB
+nothing changes, block count keeps scaling with the data.
 """
 
 from __future__ import annotations
@@ -31,6 +31,6 @@ def read_parquet_sized(path: str, columns: list[str] | None = None) -> rd.Datase
     except OSError:
         size = None
     if size is not None and size < _SMALL_INPUT_BYTES:
-        nb = int(max(_MIN_BLOCKS, size // _TARGET_BLOCK_BYTES + _MIN_BLOCKS))
+        nb = int(size // _TARGET_BLOCK_BYTES + _MIN_BLOCKS)
         return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
     return rd.read_parquet(path, columns=columns)

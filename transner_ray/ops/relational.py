@@ -233,21 +233,28 @@ def first_event_per_user_type(sf_dir: str) -> rd.Dataset:
     per (user_id, event_type). (The reference's key-dedup at
     parser.py:90-99 is dict-insert/LAST-wins — see
     ops/corpus.py::dedup_by_key_last_wins; this query demonstrates the
-    deterministic argmin variant a pipeline usually wants.)"""
-    from ray.data.aggregate import Min, Sum
+    deterministic argmin variant a pipeline usually wants.) Key
+    cardinality is O(users) → the bucketed hash-aggregate, bucketed on
+    user_id (a user's every event_type co-locates)."""
+    from .agg import bucketed_group_reduce, hash_int_col
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["user_id", "event_type"], as_index=False).agg(
             first_event_id=("event_id", "min"), n=("event_id", "size")
         )
 
-    return (
-        _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Min("first_event_id", alias_name="first_event_id"), Sum("n", alias_name="n"))
-        .sort(["user_id", "event_type"])
-    )
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "event_type"], as_index=False).agg(
+            first_event_id=("first_event_id", "min"), n=("n", "sum")
+        )
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        lambda df: hash_int_col(df["user_id"]),
+        reduce,
+    ).sort(["user_id", "event_type"])
 
 
 FIRST_EVENT_SQL = """
@@ -553,7 +560,13 @@ def _bloom_from_key_batches(keys_ds: rd.Dataset, column: str, m: int) -> np.ndar
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
     out = np.zeros(n_words, dtype=np.uint64)
-    for blob in keys_ds.map_batches(partial, batch_format="pyarrow").to_pandas()["bits"]:
+    # batch_size=None → one partial per BLOCK: keys_ds is coalesced to
+    # a few blocks, so the fold transfers (blocks × m/8) bytes — not
+    # one m-bit array per 1k-row batch (which would be quadratic in
+    # the key count this path exists for)
+    for blob in keys_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()["bits"]:
         out |= np.frombuffer(blob, dtype=np.uint64)
     return out
 
@@ -576,26 +589,30 @@ def customers_without_big_orders(
     shuffle carries partials, not order rows). Below ``exact_max``
     distinct keys: broadcast the sorted key array once and filter per
     batch with np.isin (exact, no further shuffle). Above it: build a
-    Bloom filter DISTRIBUTEDLY (per-block partial bitsets OR-folded on
-    the driver — the driver never holds the key set), broadcast the
-    bits (~2 bytes/key vs ≥8 for raw keys), keep every
-    definitely-absent customer exactly, and route only the Bloom
-    "maybe" rows (true members + ~0.04% false positives at 16
-    bits/key, k=8) through a shuffle left-outer join backstop so the
-    result stays EXACT."""
-    from ray.data.aggregate import Count
+    Bloom filter DISTRIBUTEDLY (one partial bitset per BLOCK of the
+    coalesced distinct-key dataset, OR-folded on the driver — the
+    driver never holds the key set and the fold sees a handful of
+    bitsets, not one per 1k-row batch), broadcast the bits (~2
+    bytes/key vs ≥8 for raw keys), keep every definitely-absent
+    customer exactly, and route only the Bloom "maybe" rows (true
+    members + ~0.04% false positives at 16 bits/key, k=8) through a
+    shuffle left-outer join backstop so the result stays EXACT."""
+    from .agg import bucketed_group_reduce, hash_int_col
 
     big_keys = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(BIG_ORDER_PRICE)))
-            .group_by(["o_custkey"])
-            .aggregate([]),
-            batch_format="pyarrow",
+        bucketed_group_reduce(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+                # per-batch distinct combiner: the shuffle carries keys
+                lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(BIG_ORDER_PRICE)))
+                .group_by(["o_custkey"])
+                .aggregate([]),
+                batch_format="pyarrow",
+            ),
+            lambda df: hash_int_col(df["o_custkey"]),
+            # _hit marks membership for the left-outer backstop below
+            lambda g: g.drop_duplicates("o_custkey")[["o_custkey"]].assign(_hit=np.int8(1)),
         )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="_n"))
-        .repartition(4)  # heal zero-schema empty blocks before join/collect
+        .repartition(4)  # bound the bloom-partial count + heal empties
         .materialize()  # consumed 2-3x: count, bloom build, join backstop
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
@@ -632,7 +649,7 @@ def customers_without_big_orders(
             right_on=("o_custkey",),
         )
         .map_batches(
-            lambda df: df[df["_n"].isna()][["c_custkey", "c_name", "c_acctbal"]],
+            lambda df: df[df["_hit"].isna()][["c_custkey", "c_name", "c_acctbal"]],
             batch_format="pandas",
         )
     )

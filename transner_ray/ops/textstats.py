@@ -180,7 +180,7 @@ def curate_corpus(sf_dir: str) -> rd.Dataset:
     import hashlib
     from collections import Counter
 
-    from ray.data.aggregate import Min
+    from .agg import bucketed_group_reduce, hash_str_col
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"text_md5": [], "doc_id": [], "n_chars": [], "n_words": []}
@@ -210,18 +210,14 @@ def curate_corpus(sf_dir: str) -> rd.Dataset:
         # combiner: min per md5 within the batch before the shuffle
         return g.groupby("text_md5", as_index=False).min()
 
-    out = (
-        _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("text_md5")
-        .aggregate(
-            Min("doc_id", alias_name="doc_id"),
-            Min("n_chars", alias_name="n_chars"),
-            Min("n_words", alias_name="n_words"),
-        )
-    )
-    return out.map_batches(
-        lambda df: df[["doc_id", "n_chars", "n_words"]], batch_format="pandas"
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("text_md5", as_index=False).min()
+        return g[["doc_id", "n_chars", "n_words"]]
+
+    return bucketed_group_reduce(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pandas"),
+        lambda df: hash_str_col(df["text_md5"]),
+        reduce,
     ).sort("doc_id")
 
 
