@@ -32,7 +32,10 @@ def hash_str_col(col: pd.Series) -> np.ndarray:
 
 
 def hash_int_col(col: pd.Series) -> np.ndarray:
-    return _mix64(col.to_numpy().astype(np.uint64))
+    a = col.to_numpy()
+    if a.dtype.kind == "M":  # datetime64 → ns ticks
+        a = a.view("int64")
+    return _mix64(a.astype(np.uint64))
 
 
 def bucketed_group_reduce(

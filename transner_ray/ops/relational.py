@@ -267,8 +267,10 @@ FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
 
 def events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling 1h window per event_type (streaming-shaped workload as
-    a batch groupby on the truncated timestamp)."""
-    from ray.data.aggregate import Sum
+    a batch groupby on the truncated timestamp). Window-key
+    cardinality grows with the covered time range (years × types →
+    10^5+ keys) → bucketed hash-aggregate, bucketed on the hour."""
+    from .agg import bucketed_group_reduce, hash_int_col
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["hour"] = df["ts"].dt.floor("h")
@@ -276,11 +278,17 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
             n=("event_id", "size"), sum_value=("value", "sum")
         )
 
-    out = (
-        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["hour", "event_type"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["hour", "event_type"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+
+    out = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        lambda df: hash_int_col(df["hour"]),
+        reduce,
     )
     return out.map_batches(
         lambda t: t.set_column(
@@ -308,8 +316,10 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
     bucket PARTIALS are fanned out to the 4 window starts containing
     them (a 60-min window sum is exactly the sum of its four 15-min
     buckets) — the expansion and the shuffle see one row per distinct
-    (bucket, type) per batch instead of 4 rows per event."""
-    from ray.data.aggregate import Sum
+    (bucket, type) per batch instead of 4 rows per event. Window-key
+    cardinality grows with the time range → bucketed hash-aggregate,
+    as events_hourly."""
+    from .agg import bucketed_group_reduce, hash_int_col
 
     origin = pd.Timestamp(SLIDE_ORIGIN)
 
@@ -341,11 +351,17 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
             n=("n", "sum"), sum_value=("sum_value", "sum")
         )
 
-    out = (
-        _read(sf_dir, "events", ["ts", "event_type", "value"])
-        .map_batches(expand, batch_format="pandas")
-        .groupby(["w_start", "event_type"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["w_start", "event_type"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+
+    out = bucketed_group_reduce(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+            expand, batch_format="pandas"
+        ),
+        lambda df: hash_int_col(df["w_start"]),
+        reduce,
     )
     return out.map_batches(
         lambda t: t.set_column(
