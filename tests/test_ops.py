@@ -318,6 +318,34 @@ def test_simhash_skewed_band_bounded(skewed):
     assert (cluster["hamming"] == 0).all()
 
 
+def test_band_group_pairs_contract():
+    """Pins _band_group_pairs' two regimes: all-pairs for groups
+    ≤ GROUP_PAIR_CAP, anchor-star above it (the documented recall
+    bound: member↔member pairs of an oversized group are NOT emitted
+    from that group — they surface only via other-band collisions)."""
+    from transner_ray.ops import dedup
+
+    sig = np.uint64(1).tobytes() * 8  # placeholder blob, unused here
+    small_ids = [10, 11, 12]
+    big_ids = list(range(1000, 1000 + dedup.GROUP_PAIR_CAP + 50))
+    g = pd.DataFrame(
+        {
+            "band": [0] * len(small_ids) + [1] * len(big_ids),
+            "band_key": [7] * len(small_ids) + [9] * len(big_ids),
+            "doc_id": small_ids + big_ids,
+            "sig": [sig] * (len(small_ids) + len(big_ids)),
+        }
+    )
+    p = dedup._band_group_pairs(g)
+    small = p[p["doc_id_x"] < 1000]
+    assert set(zip(small["doc_id_x"], small["doc_id_y"])) == {(10, 11), (10, 12), (11, 12)}
+    big = p[p["doc_id_x"] >= 1000]
+    # star: every pair anchored at min doc_id, exactly m-1 pairs
+    assert len(big) == len(big_ids) - 1
+    assert (big["doc_id_x"] == 1000).all()
+    assert sorted(big["doc_id_y"]) == big_ids[1:]
+
+
 def test_embedding_neardup_heavy_bucket(tmp_path):
     """Adversarially heavy SRP bucket: 300 vectors share a dominant
     direction (most land in one bucket) but pairwise cosine stays
