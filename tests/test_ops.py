@@ -436,3 +436,30 @@ def test_real_decoder_is_gated():
 
     with pytest.raises(NotImplementedError):
         multimodal.RealImageDecoder()
+
+
+# ------------------------------------------------- scaled fan-out
+
+def test_scaled_fanout_grows_with_input():
+    """VERDICT r2 #1: reduce fan-out must scale with input size — fixed
+    64-bucket reduces cap the wide phase at 64 tasks at 100 TB. Floors
+    hold at sandbox scale (no small-sf regression); growth is linear
+    above the knee; the cap bounds task-count explosion."""
+    from transner_ray.ops.agg import (
+        MAX_BUCKETS,
+        NUM_AGG_BUCKETS,
+        ROWS_PER_BUCKET,
+        scaled_num_buckets,
+    )
+    from transner_ray.ops.dedup import _pair_buckets
+
+    assert scaled_num_buckets(None) == NUM_AGG_BUCKETS
+    assert scaled_num_buckets(600_000) == NUM_AGG_BUCKETS  # sf0.1 events: floor
+    small = scaled_num_buckets(100 * ROWS_PER_BUCKET)
+    big = scaled_num_buckets(1000 * ROWS_PER_BUCKET)
+    assert small > NUM_AGG_BUCKETS
+    assert big == 10 * small  # 10x rows -> 10x buckets above the knee
+    assert scaled_num_buckets(10**15) == MAX_BUCKETS
+    # pair-generation fan-out: floor at bench scale, grows at corpus scale
+    assert _pair_buckets(8_000) == 64
+    assert _pair_buckets(10**9) >= 64 * 1000

@@ -22,7 +22,35 @@ import ray.data as rd
 
 from .dedup import _mix64
 
-NUM_AGG_BUCKETS = 64
+NUM_AGG_BUCKETS = 64  # the FLOOR fan-out, not a cap — see scaled_num_buckets
+
+# Target input rows per reduce bucket: a bucket reduce materializes one
+# pandas DataFrame of everything hashed into it, so ~256k short rows
+# keeps a task in the tens of MB even when the reduce input is the raw
+# table (sessionization) rather than combiner partials.
+ROWS_PER_BUCKET = 1 << 18
+MAX_BUCKETS = 1 << 17  # beyond ~131k reduce tasks, let buckets grow instead
+
+
+def scaled_num_buckets(
+    n_rows: int | None,
+    floor: int = NUM_AGG_BUCKETS,
+    rows_per_bucket: int = ROWS_PER_BUCKET,
+    cap: int = MAX_BUCKETS,
+) -> int:
+    """Reduce-phase fan-out derived from INPUT SIZE (the
+    read_parquet_sized pattern applied to the shuffle side): buckets
+    grow linearly with the data above ``floor × rows_per_bucket`` rows,
+    so at 10^9+ keys the reduce is thousands of bounded tasks instead
+    of 64 tasks each materializing 1/64 of the corpus. ``n_rows`` is
+    normally a parquet FOOTER count (ops/io.parquet_num_rows — no data
+    read); None falls back to the floor. Deterministic for a given
+    input, and every bucketed reduce is bucket-count-invariant (keys
+    never split across buckets), so results don't depend on the knob —
+    pinned by the invariance tests."""
+    if not n_rows or n_rows <= 0:
+        return floor
+    return int(min(cap, max(floor, n_rows // rows_per_bucket)))
 
 
 def hash_str_col(col: pd.Series) -> np.ndarray:
@@ -42,11 +70,17 @@ def bucketed_group_reduce(
     ds: rd.Dataset,
     key_hash: Callable[[pd.DataFrame], np.ndarray],
     reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = NUM_AGG_BUCKETS,
+    num_buckets: int | None = None,
+    input_rows: int | None = None,
 ) -> rd.Dataset:
     """``reduce_fn`` sees all rows of every key whose hash lands in
     one bucket (keys are never split across buckets) and must perform
-    the in-pandas groupby itself — one call per bucket."""
+    the in-pandas groupby itself — one call per bucket. Callers pass
+    ``input_rows`` (the upstream table's row count, from the parquet
+    footer) so the fan-out scales with the data; an explicit
+    ``num_buckets`` overrides."""
+    if num_buckets is None:
+        num_buckets = scaled_num_buckets(input_rows)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df["_b"] = (key_hash(df) % np.uint64(num_buckets)).astype("int32")

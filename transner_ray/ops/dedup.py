@@ -9,7 +9,8 @@ per key:
   ``groupby(hash)`` over (hash, min_id, count) PARTIALS — the shuffle
   carries one row per distinct hash per block, never the text.
 * candidate pairs (MinHash / n-gram LSH): band rows carry a partition
-  bucket (``pbucket = band_key % NUM_PAIR_BUCKETS``); ONE vectorized
+  bucket (``pbucket = band_key % _pair_buckets(n_docs)`` — the fan-out
+  SCALES with the corpus, floor 64); ONE vectorized
   pandas self-merge per bucket generates pairs for every band group in
   that bucket (the partitioned hash-aggregate pattern — never a Python
   call per band key). A band group larger than ``GROUP_PAIR_CAP``
@@ -39,7 +40,8 @@ per key:
   count scaled to the corpus (target expected bucket size), exact
   cosine verify per bucket with CHUNKED matmuls so an adversarially
   heavy bucket is memory-bounded; buckets are reduced through a coarse
-  ``pbucket`` so the groupby shuffles a bounded number of groups.
+  ``pbucket`` whose count scales with the corpus, so each reduce task
+  holds a bounded slice of the normalized vectors.
 
 All hashes are deterministic (memoized crc32 word hashes + splitmix64
 mixing — never Python ``hash``, which is salted per process), so every
@@ -56,9 +58,27 @@ import ray.data as rd
 
 _MASK = (1 << 64) - 1
 
-NUM_PAIR_BUCKETS = 64  # partition buckets for the pair-generation reduce
+NUM_PAIR_BUCKETS = 64  # FLOOR of the pair-reduce fan-out — see _pair_buckets
 GROUP_PAIR_CAP = 128  # band groups above this emit star pairs, not all-pairs
 JOIN_NUM_PARTITIONS = 8  # hash partitions for the verify joins
+
+# Target docs per pair-reduce bucket: each band row carries the full
+# signature blob (~0.5 KB) × NUM_BANDS rows per doc, so ~8k docs keeps
+# a bucket reduce under ~100 MB of sig payload.
+DOCS_PER_PAIR_BUCKET = 1 << 13
+
+
+def _pair_buckets(n_docs: int | None) -> int:
+    """Pair-generation fan-out scaled to the corpus (floor 64): at 10^9
+    docs the band/pbucket reduce is ~122k bounded tasks instead of 64
+    tasks each holding 1/64 of all band rows. Bucket count never
+    changes RESULTS — (band, band_key) groups are hashed whole into one
+    pbucket — only task granularity."""
+    from .agg import scaled_num_buckets
+
+    return scaled_num_buckets(
+        n_docs, floor=NUM_PAIR_BUCKETS, rows_per_bucket=DOCS_PER_PAIR_BUCKET
+    )
 
 # per-worker cache: word -> 64-bit hash (vocabularies are Zipfian)
 _WORD_HASH_CACHE: dict[str, int] = {}
@@ -105,6 +125,12 @@ def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
     return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _docs_rows(sf_dir: str) -> int | None:
+    from .io import parquet_num_rows
+
+    return parquet_num_rows(f"{sf_dir}/documents.parquet")
+
+
 # --------------------------------------------------------------- exact
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
@@ -132,6 +158,7 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
         _read_docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pandas"),
         lambda df: hash_str_col(df["text_md5"]),
         reduce,
+        input_rows=_docs_rows(sf_dir),
     ).sort("text_md5")
 
 
@@ -207,7 +234,7 @@ def _minhash_signature(hashes: np.ndarray) -> np.ndarray:
     return _mix64(hashes[None, :] ^ (seeds * np.uint64(0x9E3779B97F4A7C15))).min(axis=1)
 
 
-def _band_rows(doc_ids, sigs) -> pd.DataFrame:
+def _band_rows(doc_ids, sigs, num_pair_buckets: int = NUM_PAIR_BUCKETS) -> pd.DataFrame:
     """Vectorized banding: (n_docs, NUM_PERM) signatures → one row per
     (doc, band) with a mixed band key, its partition bucket, and the
     full signature blob (the estimate-then-verify prefilter needs both
@@ -223,7 +250,7 @@ def _band_rows(doc_ids, sigs) -> pd.DataFrame:
         {
             "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
             "band_key": keys.astype("int64"),
-            "pbucket": (keys % np.uint64(NUM_PAIR_BUCKETS)).astype("int32"),
+            "pbucket": (keys % np.uint64(num_pair_buckets)).astype("int32"),
             "doc_id": np.repeat(np.asarray(doc_ids), NUM_BANDS),
             "sig": np.repeat(np.asarray(sig_blobs, dtype=object), NUM_BANDS),
         }
@@ -251,11 +278,14 @@ def _sig_est(sx, sy) -> np.ndarray:
     return (A == B).mean(axis=1)
 
 
-def _minhash_band_rows(t: pa.Table) -> pd.DataFrame:
-    sigs = [
-        _minhash_signature(np.frombuffer(b.as_py(), dtype=np.uint64)) for b in t["feat"]
-    ]
-    return _band_rows(t["doc_id"].to_pylist(), sigs)
+def _make_minhash_band_rows(num_pair_buckets: int):
+    def _minhash_band_rows(t: pa.Table) -> pd.DataFrame:
+        sigs = [
+            _minhash_signature(np.frombuffer(b.as_py(), dtype=np.uint64)) for b in t["feat"]
+        ]
+        return _band_rows(t["doc_id"].to_pylist(), sigs, num_pair_buckets)
+
+    return _minhash_band_rows
 
 
 _EMPTY_PAIRS = pd.DataFrame(
@@ -319,17 +349,22 @@ def _make_reduce_pair_bucket(est_cut: float, cap: int = GROUP_PAIR_CAP):
     return reduce
 
 
-def _add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    """Partition bucket of a (doc_a, doc_b) pair, mixed over both ids."""
-    a = df["doc_a"].to_numpy().astype(np.uint64)
-    b = df["doc_b"].to_numpy().astype(np.uint64)
-    df["_pb"] = (
-        _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ _mix64(b)) % np.uint64(NUM_PAIR_BUCKETS)
-    ).astype("int32")
-    return df
+def _make_add_pair_bucket(num_pair_buckets: int):
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Partition bucket of a (doc_a, doc_b) pair, mixed over both ids."""
+        a = df["doc_a"].to_numpy().astype(np.uint64)
+        b = df["doc_b"].to_numpy().astype(np.uint64)
+        df["_pb"] = (
+            _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ _mix64(b)) % np.uint64(num_pair_buckets)
+        ).astype("int32")
+        return df
+
+    return add_pair_bucket
 
 
-def _distinct_pairs(pairs: rd.Dataset, keep: list[str]) -> rd.Dataset:
+def _distinct_pairs(
+    pairs: rd.Dataset, keep: list[str], num_pair_buckets: int = NUM_PAIR_BUCKETS
+) -> rd.Dataset:
     """Globally distinct (doc_a, doc_b) via the partitioned
     hash-aggregate: bucket on the mixed pair hash, ONE vectorized
     pandas drop_duplicates per bucket. NEVER a per-pair map_groups —
@@ -341,7 +376,7 @@ def _distinct_pairs(pairs: rd.Dataset, keep: list[str]) -> rd.Dataset:
         return g.drop_duplicates(["doc_a", "doc_b"])[keep]
 
     return (
-        pairs.map_batches(_add_pair_bucket, batch_format="pandas")
+        pairs.map_batches(_make_add_pair_bucket(num_pair_buckets), batch_format="pandas")
         .groupby("_pb")
         .map_groups(reduce, batch_format="pandas")
     )
@@ -366,6 +401,7 @@ def _attach_feats(
     out_col: str,
     carry: dict[str, object],
     dedupe_on: list[str] | None = None,
+    num_buckets: int = NUM_PAIR_BUCKETS,
 ) -> rd.Dataset:
     """Reduce-side hash join: attach ``feats.feat`` to each pair row
     whose ``key_col`` equals ``feats.doc_id``, named ``out_col``.
@@ -387,7 +423,7 @@ def _attach_feats(
         out["_feat"] = [b""] * len(df)
         out["_side"] = np.int8(1)
         out["_bucket"] = (
-            _mix64(out["_k"].to_numpy().astype(np.uint64)) % np.uint64(NUM_PAIR_BUCKETS)
+            _mix64(out["_k"].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)
         ).astype("int32")
         return out[cols + ["_k", "_feat", "_side", "_bucket"]]
 
@@ -401,7 +437,7 @@ def _attach_feats(
         out["_feat"] = t["feat"].to_pylist()
         out["_side"] = np.int8(0)
         out["_bucket"] = (
-            _mix64(k.astype(np.uint64)) % np.uint64(NUM_PAIR_BUCKETS)
+            _mix64(k.astype(np.uint64)) % np.uint64(num_buckets)
         ).astype("int32")
         return out[cols + ["_k", "_feat", "_side", "_bucket"]]
 
@@ -422,22 +458,82 @@ def _attach_feats(
     return unioned.groupby("_bucket").map_groups(reduce, batch_format="pandas")
 
 
+# Above this many distinct candidate doc ids the semi-filter switches
+# from an exact sorted-array broadcast (8 B/id) to a Bloom bitset
+# (~2 B/id); Bloom false positives only let extra feat rows through to
+# the reduce, where they match no pair — the result is unchanged.
+CAND_IDS_EXACT_MAX = 1 << 21
+
+
+def _semi_filter_feats(pairs: rd.Dataset, feats: rd.Dataset, n_pairs: int) -> rd.Dataset:
+    """Shrink the FEATS side of the verify join to candidate docs only.
+
+    Without this, both attach rounds shuffle every doc's feature blob —
+    the dominant volume at corpus scale — even when the prefilter left
+    a handful of pairs. The pair list is already materialized and small
+    (candidates only), so its distinct doc ids are collected per block,
+    unioned on the driver (bounded by 2 × n_pairs), and broadcast once
+    via ray.put; each feats block then drops non-candidates in a
+    vectorized np.isin before anything enters the shuffle. Above
+    CAND_IDS_EXACT_MAX ids the broadcast is a Bloom bitset instead
+    (false positives just ride along harmlessly)."""
+
+    def block_ids(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(
+            np.concatenate([df["doc_a"].to_numpy("int64"), df["doc_b"].to_numpy("int64")])
+        )
+        return pd.DataFrame({"k": u})
+
+    ids_ds = pairs.map_batches(block_ids, batch_format="pandas", batch_size=None)
+    if 2 * n_pairs <= CAND_IDS_EXACT_MAX:
+        import ray
+
+        cand = np.unique(ids_ds.to_pandas()["k"].to_numpy("int64"))
+        cand_ref = ray.put(cand)
+
+        def keep_exact(t: pa.Table) -> pa.Table:
+            have = ray.get(cand_ref)
+            return t.filter(np.isin(np.asarray(t["doc_id"]).astype("int64"), have))
+
+        return feats.map_batches(keep_exact, batch_format="pyarrow")
+    # Bloom path: distributed build (per-block partial bitsets OR-folded
+    # on the driver — relational.py's machinery; deferred import to
+    # avoid the module cycle)
+    import ray
+
+    from .relational import _BLOOM_BITS_PER_KEY, _bloom_from_key_batches, _bloom_maybe
+
+    m = int(max(64, 2 * n_pairs * _BLOOM_BITS_PER_KEY))
+    bits_ref = ray.put(_bloom_from_key_batches(ids_ds, "k", m))
+
+    def keep_maybe(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keys = np.asarray(t["doc_id"]).astype(np.uint64)
+        return t.filter(_bloom_maybe(bits, m, keys))
+
+    return feats.map_batches(keep_maybe, batch_format="pyarrow")
+
+
 def _verify_pairs_jaccard(
     pairs: rd.Dataset,
     feats: rd.Dataset,
     threshold: float,
-    num_partitions: int = JOIN_NUM_PARTITIONS,
+    num_buckets: int = NUM_PAIR_BUCKETS,
 ) -> rd.Dataset:
     """Exact-Jaccard verification with NO corpus broadcast: the pair
     list is hash-joined back to the per-doc feature blobs (twice — for
     doc_a and doc_b, via the bucketed reduce-side join), then verified
-    per batch from the deserialized uint64 sets.
+    per batch from the deserialized uint64 sets. The feats side is
+    SEMI-FILTERED to candidate docs first (_semi_filter_feats), so the
+    verify shuffle moves blobs only for docs that appear in a
+    surviving pair — not the whole corpus.
 
     The pair list is materialized first (it is tiny — candidate pairs
     only) so the no-candidates case can short-circuit: a join over a
     fully-empty left side has no schema to infer and fails."""
     pairs = pairs.materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(
             pa.table(
                 {
@@ -447,16 +543,23 @@ def _verify_pairs_jaccard(
                 }
             )
         )
+    cand_feats = _semi_filter_feats(pairs, feats, n_pairs)
     j = _attach_feats(
         pairs,
-        feats,
+        cand_feats,
         "doc_a",
         "feat_a",
         {"doc_a": -1, "doc_b": -1},
         dedupe_on=["doc_a", "doc_b"],
+        num_buckets=num_buckets,
     )
     j = _attach_feats(
-        j, feats, "doc_b", "feat_b", {"doc_a": -1, "doc_b": -1, "feat_a": b""}
+        j,
+        cand_feats,
+        "doc_b",
+        "feat_b",
+        {"doc_a": -1, "doc_b": -1, "feat_a": b""},
+        num_buckets=num_buckets,
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -487,13 +590,14 @@ def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
     verification; returns (doc_a, doc_b, jaccard) sorted. The shingle
     sets are computed ONCE (materialized feature dataset shared by the
     banding pass and the verify joins)."""
+    npb = _pair_buckets(_docs_rows(sf_dir))
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     feats = docs.map_batches(
         _featurize_batch(_word_shingle_hashes), batch_format="pyarrow"
     ).materialize()
-    bands = feats.map_batches(_minhash_band_rows, batch_format="pyarrow")
+    bands = feats.map_batches(_make_minhash_band_rows(npb), batch_format="pyarrow")
     pairs = _pairs_from_band_rows(bands, est_jaccard_threshold(jaccard_threshold))
-    return _verify_pairs_jaccard(pairs, feats, jaccard_threshold)
+    return _verify_pairs_jaccard(pairs, feats, jaccard_threshold, num_buckets=npb)
 
 
 # ----------------------------------------------------- n-gram Jaccard
@@ -502,13 +606,14 @@ def ngram_jaccard_dedup(sf_dir: str, jaccard_threshold: float = 0.6) -> rd.Datas
     """Char-4-gram Jaccard near-dup: MinHash-LSH candidates over char
     n-grams, exact verification. Same machinery as minhash_dedup at the
     character level (robust to word-order edits)."""
+    npb = _pair_buckets(_docs_rows(sf_dir))
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     feats = docs.map_batches(
         _featurize_batch(_char_ngram_hashes), batch_format="pyarrow"
     ).materialize()
-    bands = feats.map_batches(_minhash_band_rows, batch_format="pyarrow")
+    bands = feats.map_batches(_make_minhash_band_rows(npb), batch_format="pyarrow")
     pairs = _pairs_from_band_rows(bands, est_jaccard_threshold(jaccard_threshold))
-    return _verify_pairs_jaccard(pairs, feats, jaccard_threshold)
+    return _verify_pairs_jaccard(pairs, feats, jaccard_threshold, num_buckets=npb)
 
 
 # -------------------------------------------------------------- SimHash
@@ -544,11 +649,19 @@ def _simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     """Near-dup pairs by 64-bit SimHash: candidates blocked on
-    ``max_hamming + 1`` bands (full recall by pigeonhole), exact
-    XOR-popcount hamming computed inside the bucketed pair reduce (the
-    signature rides along in the band rows — no verify join), distinct
-    via the bucketed reduce. Returns (doc_a, doc_b, hamming)."""
+    ``max_hamming + 1`` bands, exact XOR-popcount hamming computed
+    inside the bucketed pair reduce (the signature rides along in the
+    band rows — no verify join), distinct via the bucketed reduce.
+    Returns (doc_a, doc_b, hamming).
+
+    Recall: the pigeonhole blocking guarantees every hamming ≤ h pair
+    shares at least one band, so recall is FULL as long as no band
+    group exceeds GROUP_PAIR_CAP. An oversized group falls into
+    ``_band_group_pairs``'s anchor-star regime, where a member↔member
+    pair is emitted only via its anchor edges or another band's
+    ≤-cap collision — see the recall bound documented there."""
     layout = _simhash_band_layout(max_hamming)
+    npb = _pair_buckets(_docs_rows(sf_dir))
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -563,7 +676,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
                     {
                         "band": np.full(n, band, dtype=np.int32),
                         "band_key": mixed.astype("int64"),
-                        "pbucket": (mixed % np.uint64(NUM_PAIR_BUCKETS)).astype("int32"),
+                        "pbucket": (mixed % np.uint64(npb)).astype("int32"),
                         "doc_id": df["doc_id"].to_numpy(),
                         "sig": sigs.astype("int64"),
                     }
@@ -598,7 +711,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     cand = bands.groupby("pbucket").map_groups(reduce_bucket, batch_format="pandas")
     # distinct via the bucketed reduce (hamming is identical on every
     # duplicate of a pair, so drop_duplicates IS the Min aggregate)
-    return _distinct_pairs(cand, ["doc_a", "doc_b", "hamming"]).sort(["doc_a", "doc_b"])
+    return _distinct_pairs(cand, ["doc_a", "doc_b", "hamming"], npb).sort(["doc_a", "doc_b"])
 
 
 # ------------------------------------------------- embedding near-dup
@@ -622,16 +735,22 @@ def embedding_neardup(
     a bucket runs as CHUNKED matmuls (``pair_chunk`` rows at a time),
     so an adversarially heavy bucket costs bounded memory. Buckets are
     grouped through a coarse pbucket (one pandas call reduces many
-    fine buckets) so the shuffle sees NUM_PAIR_BUCKETS groups, not one
-    group per fine bucket. Single-probe LSH: pairs straddling a
+    fine buckets); the pbucket count scales with the corpus
+    (_pair_buckets), bounding each reduce task's vector slice while
+    staying far below the fine-bucket count. Single-probe LSH: pairs
+    straddling a
     hyperplane can be missed — the standard recall tradeoff,
     documented."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.read_metadata(path).num_rows
     if n_planes is None:
-        n_rows = pq.read_metadata(path).num_rows
         n_planes = int(min(24, max(8, np.ceil(np.log2(max(n_rows, 2) / EMB_TARGET_BUCKET)))))
+    # pbucket fan-out scales with the corpus like the planes do, so one
+    # reduce task holds ~DOCS_PER_PAIR_BUCKET normalized vectors, not a
+    # fixed 1/64 of them
+    npb = _pair_buckets(n_rows)
     from .io import read_parquet_sized
 
     emb = read_parquet_sized(path, columns=["vec_id", "embedding"])
@@ -648,7 +767,7 @@ def embedding_neardup(
         return pd.DataFrame(
             {
                 "bucket": bucket.astype("int64"),
-                "pbucket": (_mix64(bucket) % np.uint64(NUM_PAIR_BUCKETS)).astype("int32"),
+                "pbucket": (_mix64(bucket) % np.uint64(npb)).astype("int32"),
                 "vec_id": df["vec_id"],
                 "embedding": list(norm),
             }

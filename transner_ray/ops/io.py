@@ -22,6 +22,20 @@ _SMALL_INPUT_BYTES = 512 * 1024 * 1024
 _MIN_BLOCKS = 16  # keep map-stage parallelism for compute-heavy ops
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Row count from the parquet FOOTER only (no data read, no Ray
+    execution) — the cheap input-size probe the scaled-fan-out helpers
+    use (``ops/agg.scaled_num_buckets``). Accepts a single file; returns
+    None when the footer is unreadable so callers fall back to their
+    floor fan-out."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
 def read_parquet_sized(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """Measured sweep at sf0.1 (32 cpus): 64 blocks → minhash 12-15 s
     (shuffle dispatch bound); 8 blocks → events_sliding 9-13 s (map

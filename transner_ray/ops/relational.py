@@ -33,6 +33,13 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _rows(sf_dir: str, table: str) -> int | None:
+    """Footer-only row count — sizes every bucketed reduce's fan-out."""
+    from .io import parquet_num_rows
+
+    return parquet_num_rows(f"{sf_dir}/{table}.parquet")
+
+
 # ------------------------------------------------------------------ Q1-ish
 
 def lineitem_pricing(sf_dir: str) -> rd.Dataset:
@@ -254,6 +261,7 @@ def first_event_per_user_type(sf_dir: str) -> rd.Dataset:
         ),
         lambda df: hash_int_col(df["user_id"]),
         reduce,
+        input_rows=_rows(sf_dir, "events"),
     ).sort(["user_id", "event_type"])
 
 
@@ -289,6 +297,7 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         ),
         lambda df: hash_int_col(df["hour"]),
         reduce,
+        input_rows=_rows(sf_dir, "events"),
     )
     return out.map_batches(
         lambda t: t.set_column(
@@ -362,6 +371,7 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
         ),
         lambda df: hash_int_col(df["w_start"]),
         reduce,
+        input_rows=_rows(sf_dir, "events"),
     )
     return out.map_batches(
         lambda t: t.set_column(
@@ -438,22 +448,28 @@ SELECT count(*) AS n_rows FROM (
 SESSION_GAP_MIN = 30
 
 
-USER_BUCKETS = 64
+USER_BUCKETS = 64  # floor — grows with the events table, see below
 
 
 def user_sessions(sf_dir: str) -> rd.Dataset:
     """Gap-based sessionization (the streaming-shaped workload of the
     guide): a new session starts after a >30-min silence. Partitioned
-    hash-aggregate shape: users are hashed into USER_BUCKETS buckets,
+    hash-aggregate shape: users are hashed into buckets,
     ``groupby(bucket)`` co-locates each user's events, and ONE
     vectorized pandas pass per bucket sessionizes every user in it
     (sort + user-change/gap flags + cumsum) — at 10^8 users a per-user
     ``map_groups`` is one Python task per user; this is one per
-    bucket. Returns one row per session."""
+    bucket. The bucket COUNT scales with the events table (this reduce
+    holds RAW event rows, not partials, so a fixed 64 would hand each
+    task 1/64 of the corpus at scale — and sort them). Returns one row
+    per session."""
+    from .agg import scaled_num_buckets
+
+    nb = scaled_num_buckets(_rows(sf_dir, "events"), floor=USER_BUCKETS)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         u = df["user_id"].to_numpy().astype(np.uint64)
-        df["bucket"] = (_mix64(u) % np.uint64(USER_BUCKETS)).astype("int32")
+        df["bucket"] = (_mix64(u) % np.uint64(nb)).astype("int32")
         return df
 
     def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -501,22 +517,26 @@ ORDER BY user_id, session_start
 
 # ------------------------------------------------- top-k per group
 
-BRAND_BUCKETS = 16
+BRAND_BUCKETS = 16  # floor — grows with the part table, see below
 
 
 def top_parts_per_brand(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Per-group top-k (row_number pattern): k most expensive parts per
     brand, ties broken by partkey. Two-level: a per-batch COMBINER
     takes each brand's local top-k (shuffle carries ≤ k rows per brand
-    per block), then brands are hashed into BRAND_BUCKETS buckets and
-    one vectorized pandas pass per bucket finishes every brand in it —
-    no per-brand Python task even at high brand cardinality."""
+    per block), then brands are hashed into buckets (count scaled to
+    the part table) and one vectorized pandas pass per bucket finishes
+    every brand in it — no per-brand Python task even at high brand
+    cardinality."""
+    from .agg import scaled_num_buckets
+
+    nb = scaled_num_buckets(_rows(sf_dir, "part"), floor=BRAND_BUCKETS)
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["p_brand", "p_retailprice", "p_partkey"], ascending=[True, False, True])
         df = df.groupby("p_brand").head(k)
         key = pd.util.hash_pandas_object(df["p_brand"], index=False).to_numpy()
-        df["bucket"] = (key % np.uint64(BRAND_BUCKETS)).astype("int32")
+        df["bucket"] = (key % np.uint64(nb)).astype("int32")
         return df
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -627,6 +647,7 @@ def customers_without_big_orders(
             lambda df: hash_int_col(df["o_custkey"]),
             # _hit marks membership for the left-outer backstop below
             lambda g: g.drop_duplicates("o_custkey")[["o_custkey"]].assign(_hit=np.int8(1)),
+            input_rows=_rows(sf_dir, "orders"),
         )
         .repartition(4)  # bound the bloom-partial count + heal empties
         .materialize()  # consumed 2-3x: count, bloom build, join backstop

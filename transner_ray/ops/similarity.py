@@ -26,11 +26,20 @@ def _read_emb(sf_dir: str) -> rd.Dataset:
 
 
 def _query_vector(sf_dir: str, query_vec_id: int = 0) -> np.ndarray:
+    """One row into driver memory, not the table: the predicate pushes
+    down to parquet row-group/page statistics, so only the row groups
+    whose vec_id range covers the query id are decoded — at 100 TB of
+    embeddings the driver reads a few MB, never the corpus."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t.column("vec_id").to_pylist().index(query_vec_id)
-    v = np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
+    )
+    if t.num_rows == 0:
+        raise KeyError(f"vec_id {query_vec_id} not found")
+    v = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
     return v / np.linalg.norm(v)
 
 
@@ -95,10 +104,19 @@ def ivf_topk(
     ``nprobe`` lists closest to the query."""
     import pyarrow.parquet as pq
 
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(
-        0, sample_rows
-    )
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample.column("embedding").to_pylist()])
+    # Streaming sample: iterate record batches and stop at sample_rows —
+    # only the first row group(s) are ever decoded, not the whole
+    # column (the driver-side fit must stay O(sample), not O(corpus))
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    chunks: list[np.ndarray] = []
+    got = 0
+    for rb in pf.iter_batches(batch_size=sample_rows, columns=["embedding"]):
+        vals = rb.column("embedding").to_pylist()[: sample_rows - got]
+        chunks.extend(np.asarray(v, dtype=np.float64) for v in vals)
+        got += len(vals)
+        if got >= sample_rows:
+            break
+    X = np.stack(chunks)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     cents = X[:n_centroids].copy()
     for _ in range(5):

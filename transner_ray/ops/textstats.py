@@ -214,10 +214,13 @@ def curate_corpus(sf_dir: str) -> rd.Dataset:
         g = g.groupby("text_md5", as_index=False).min()
         return g[["doc_id", "n_chars", "n_words"]]
 
+    from .io import parquet_num_rows
+
     return bucketed_group_reduce(
         _read_docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pandas"),
         lambda df: hash_str_col(df["text_md5"]),
         reduce,
+        input_rows=parquet_num_rows(f"{sf_dir}/documents.parquet"),
     ).sort("doc_id")
 
 

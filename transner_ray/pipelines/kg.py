@@ -34,15 +34,21 @@ from ..gazetteers import default_gazetteers
 from ..stages.detect import MentionDetector, explode_mentions_batch
 from ..stages.extract import extract_text_batch
 from ..stages.graph import (
-    edge_partials_batch,
-    entity_partials_batch,
     link_triples_batch,
+    make_edge_partials,
+    make_entity_partials,
     reduce_edge_bucket,
     reduce_entity_bucket,
 )
 from ..stages.split import split_sentences_batch
 from ..stages.triples import triples_batch
-from ..state.checkpoint import CheckpointStore, PartitionManifest, plan_partitions, timed
+from ..state.checkpoint import (
+    CheckpointStore,
+    PartitionManifest,
+    fingerprint_files,
+    plan_partitions,
+    timed,
+)
 
 PAGES_COLUMNS = ["url", "html", "lang"]  # prune at the read: no warc_ts/text
 
@@ -114,7 +120,10 @@ def linked_triples_dataset(
 
 
 def entities_dataset(
-    linked: rd.Dataset, settle: bool = False, wide_num_blocks: int = 8
+    linked: rd.Dataset,
+    settle: bool = False,
+    wide_num_blocks: int = 8,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Canonicalization: per-block partial counts (the combiner that
     defuses Zipf-head skew) → partitioned hash-aggregate: groupby on
@@ -124,13 +133,16 @@ def entities_dataset(
     ``wide_num_blocks`` coalesces the partials before the all-to-all:
     the sort-based shuffle creates blocks × partitions intermediate
     objects, so 100+ small partial blocks → a task storm (measured
-    6x slower). Size it ~2x the reducer slots you want; raise it on a
-    real cluster. ``settle=True`` additionally materializes the
-    coalesced partials — right when the upstream is parquet-backed; it
-    EXECUTES the upstream at call time, so keep it False in lazy
-    multi-output compositions."""
+    6x slower). ``num_buckets`` is the reduce fan-out (None → the
+    64-bucket floor). Both knobs are SCALED WITH THE TRIPLE COUNT by
+    ``run_partitioned`` (which knows the input size from the
+    checkpoint parquet footers); callers composing lazily over inputs
+    of unknown size keep the floors. ``settle=True`` additionally
+    materializes the coalesced partials — right when the upstream is
+    parquet-backed; it EXECUTES the upstream at call time, so keep it
+    False in lazy multi-output compositions."""
     partials = linked.map_batches(
-        entity_partials_batch, batch_format="pyarrow"
+        make_entity_partials(num_buckets or 64), batch_format="pyarrow"
     ).repartition(wide_num_blocks)
     if settle:
         partials = partials.materialize()
@@ -140,12 +152,15 @@ def entities_dataset(
 
 
 def edges_dataset(
-    linked: rd.Dataset, settle: bool = False, wide_num_blocks: int = 8
+    linked: rd.Dataset,
+    settle: bool = False,
+    wide_num_blocks: int = 8,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Edge weights + capped provenance (partitioned hash-aggregate),
     then the one global sort. Parameters as in entities_dataset."""
     partials = linked.map_batches(
-        edge_partials_batch, batch_format="pyarrow"
+        make_edge_partials(num_buckets or 64), batch_format="pyarrow"
     ).repartition(wide_num_blocks)
     if settle:
         partials = partials.materialize()
@@ -221,8 +236,13 @@ def run_partitioned(
         if store.is_complete(pid):
             # manifest presence alone is not enough: re-running with a
             # different num_partitions or a changed input listing would
-            # silently skip a partition whose file membership differs
-            if store.load_manifest(pid).get("input_files") == files:
+            # silently skip a partition whose file membership differs —
+            # and a REGENERATED file at the same path (size/mtime
+            # fingerprint mismatch) must invalidate too
+            m = store.load_manifest(pid)
+            if m.get("input_files") == files and m.get(
+                "input_fingerprint"
+            ) == fingerprint_files(files):
                 skipped.append(pid)
                 continue
             os.remove(store.manifest_path(pid))  # stale → re-run below
@@ -269,6 +289,7 @@ def run_partitioned(
                 input_files=files,
                 rows=rows,
                 wall_sec=timed() - t0,
+                input_fingerprint=fingerprint_files(files),
             )
         )
         ran.append(pid)
@@ -291,9 +312,24 @@ def run_partitioned(
             "edges": 0,
             "out_dir": out_dir,
         }
+    # Scale the wide phase's fan-out with the actual triple count
+    # (parquet footers only — no execution): at 10^9+ triples the
+    # reduce is thousands of bounded tasks, not 64 tasks each holding
+    # 1/64 of the partials. Explicit wide_num_blocks still wins.
+    import pyarrow.parquet as _pq
+
+    from ..ops.agg import scaled_num_buckets
+
+    n_triples = sum(_pq.read_metadata(f).num_rows for f in triple_files)
+    num_buckets = scaled_num_buckets(n_triples, floor=64)
+    wide_num_blocks = max(wide_num_blocks, num_buckets // 8)
     triples = rd.read_parquet(triple_files)
-    entities = entities_dataset(triples, settle=True, wide_num_blocks=wide_num_blocks)
-    edges = edges_dataset(triples, settle=True, wide_num_blocks=wide_num_blocks)
+    entities = entities_dataset(
+        triples, settle=True, wide_num_blocks=wide_num_blocks, num_buckets=num_buckets
+    )
+    edges = edges_dataset(
+        triples, settle=True, wide_num_blocks=wide_num_blocks, num_buckets=num_buckets
+    )
     for name, ds in (("entities", entities), ("edges", edges)):
         final = os.path.join(out_dir, name)
         tmp = final + ".tmp"

@@ -74,7 +74,9 @@ def link_triples_batch(batch: pa.Table) -> pa.Table:
 
 # ---------------------------------------------------------------- entities
 
-NUM_AGG_BUCKETS = 64
+NUM_AGG_BUCKETS = 64  # floor fan-out; run_partitioned scales it with the
+# triple count via ops/agg.scaled_num_buckets (make_entity_partials /
+# make_edge_partials below)
 
 ENTITY_PARTIALS = pa.schema(
     [
@@ -87,36 +89,44 @@ ENTITY_PARTIALS = pa.schema(
 )
 
 
-def _bucket(key: str) -> int:
+def _bucket(key: str, num_buckets: int = NUM_AGG_BUCKETS) -> int:
     """Deterministic hash bucket for the partitioned hash-aggregate
     (never Python ``hash`` — it is salted per process)."""
-    return zlib.crc32(key.encode("utf-8")) % NUM_AGG_BUCKETS
+    return zlib.crc32(key.encode("utf-8")) % num_buckets
 
 
-def entity_partials_batch(batch: pa.Table) -> pa.Table:
-    """Partial combiner: linked triples → per-block (entity_id,
+def make_entity_partials(num_buckets: int = NUM_AGG_BUCKETS):
+    """Partial combiner factory: linked triples → per-block (entity_id,
     surface, type) counts over BOTH endpoints, one row per distinct key
     per block, bucketed by hash(entity_id) for the partitioned
-    hash-aggregate reduce."""
-    counts: Counter = Counter()
-    cols = [
-        batch.column(c).to_pylist()
-        for c in ("subj_id", "subj", "subj_type", "obj_id", "obj", "obj_type")
-    ]
-    for sid, s, st, oid, o, ot in zip(*cols):
-        counts[(sid, s, st)] += 1
-        counts[(oid, o, ot or "")] += 1
-    keys = list(counts)
-    return pa.table(
-        {
-            "bucket": pa.array([_bucket(k[0]) for k in keys], pa.int32()),
-            "entity_id": pa.array([k[0] for k in keys], pa.string()),
-            "surface": pa.array([k[1] for k in keys], pa.string()),
-            "type": pa.array([k[2] for k in keys], pa.string()),
-            "n": pa.array([counts[k] for k in keys], pa.int64()),
-        },
-        schema=ENTITY_PARTIALS,
-    )
+    hash-aggregate reduce. ``num_buckets`` is the reduce fan-out —
+    scaled with the triple count by run_partitioned, floor 64."""
+
+    def entity_partials_batch(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        cols = [
+            batch.column(c).to_pylist()
+            for c in ("subj_id", "subj", "subj_type", "obj_id", "obj", "obj_type")
+        ]
+        for sid, s, st, oid, o, ot in zip(*cols):
+            counts[(sid, s, st)] += 1
+            counts[(oid, o, ot or "")] += 1
+        keys = list(counts)
+        return pa.table(
+            {
+                "bucket": pa.array([_bucket(k[0], num_buckets) for k in keys], pa.int32()),
+                "entity_id": pa.array([k[0] for k in keys], pa.string()),
+                "surface": pa.array([k[1] for k in keys], pa.string()),
+                "type": pa.array([k[2] for k in keys], pa.string()),
+                "n": pa.array([counts[k] for k in keys], pa.int64()),
+            },
+            schema=ENTITY_PARTIALS,
+        )
+
+    return entity_partials_batch
+
+
+entity_partials_batch = make_entity_partials()
 
 
 def reduce_entity_bucket(df) -> pa.Table:
@@ -168,48 +178,56 @@ EDGE_PARTIALS = pa.schema(
 )
 
 
-def edge_partials_batch(batch: pa.Table) -> pa.Table:
-    """Partial combiner: linked triples → per-block edge weights with a
-    capped provenance sample, one row per (edge, sampled source).
+def make_edge_partials(num_buckets: int = NUM_AGG_BUCKETS):
+    """Partial combiner factory: linked triples → per-block edge
+    weights with a capped provenance sample, one row per (edge, sampled
+    source). ``num_buckets`` scaled as in make_entity_partials.
 
     Cap-after-sort determinism: the union of per-block sorted-first-K
     source samples, sorted and re-capped in the reduce, equals the
     global sorted-first-K (any url in the global first K has at most
     K-1 smaller urls in its own block) — oracle-identical."""
-    weight: Counter = Counter()
-    sources: dict[tuple, set] = {}
-    for sid, p, oid, url in zip(
-        batch.column("subj_id").to_pylist(),
-        batch.column("pred").to_pylist(),
-        batch.column("obj_id").to_pylist(),
-        batch.column("url").to_pylist(),
-    ):
-        k = (sid, p, oid)
-        weight[k] += 1
-        sources.setdefault(k, set()).add(url)
-    buckets, sids, preds, oids, weights, srcs = [], [], [], [], [], []
-    for k, w in weight.items():
-        b = _bucket(k[0])
-        for i, src in enumerate(sorted(sources[k])[:MAX_EDGE_SOURCES]):
-            buckets.append(b)
-            sids.append(k[0])
-            preds.append(k[1])
-            oids.append(k[2])
-            # carry the edge weight on the first source row only, so the
-            # reduce can sum without double counting
-            weights.append(w if i == 0 else 0)
-            srcs.append(src)
-    return pa.table(
-        {
-            "bucket": pa.array(buckets, pa.int32()),
-            "subj_id": pa.array(sids, pa.string()),
-            "pred": pa.array(preds, pa.string()),
-            "obj_id": pa.array(oids, pa.string()),
-            "weight": pa.array(weights, pa.int64()),
-            "source": pa.array(srcs, pa.string()),
-        },
-        schema=EDGE_PARTIALS,
-    )
+
+    def edge_partials_batch(batch: pa.Table) -> pa.Table:
+        weight: Counter = Counter()
+        sources: dict[tuple, set] = {}
+        for sid, p, oid, url in zip(
+            batch.column("subj_id").to_pylist(),
+            batch.column("pred").to_pylist(),
+            batch.column("obj_id").to_pylist(),
+            batch.column("url").to_pylist(),
+        ):
+            k = (sid, p, oid)
+            weight[k] += 1
+            sources.setdefault(k, set()).add(url)
+        buckets, sids, preds, oids, weights, srcs = [], [], [], [], [], []
+        for k, w in weight.items():
+            b = _bucket(k[0], num_buckets)
+            for i, src in enumerate(sorted(sources[k])[:MAX_EDGE_SOURCES]):
+                buckets.append(b)
+                sids.append(k[0])
+                preds.append(k[1])
+                oids.append(k[2])
+                # carry the edge weight on the first source row only, so the
+                # reduce can sum without double counting
+                weights.append(w if i == 0 else 0)
+                srcs.append(src)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int32()),
+                "subj_id": pa.array(sids, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj_id": pa.array(oids, pa.string()),
+                "weight": pa.array(weights, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+            },
+            schema=EDGE_PARTIALS,
+        )
+
+    return edge_partials_batch
+
+
+edge_partials_batch = make_edge_partials()
 
 
 def reduce_edge_bucket(df) -> pa.Table:

@@ -31,6 +31,19 @@ import time
 from dataclasses import dataclass, field
 
 
+def fingerprint_files(files: list[str]) -> list[list]:
+    """Per-file (path, size, mtime_ns) — recorded in the manifest and
+    compared on resume, so a REGENERATED input (same path, new content)
+    invalidates the partition instead of silently reusing stale
+    triples. Content-free by design: stat() is O(1) per file; a 100 TB
+    re-hash per resume would defeat the point of resuming."""
+    out = []
+    for f in sorted(files):
+        st = os.stat(f)
+        out.append([f, st.st_size, st.st_mtime_ns])
+    return out
+
+
 @dataclass
 class PartitionManifest:
     partition: int
@@ -38,12 +51,14 @@ class PartitionManifest:
     rows: dict[str, int] = field(default_factory=dict)  # stage -> row count
     wall_sec: float = 0.0
     status: str = "complete"
+    input_fingerprint: list = field(default_factory=list)  # [path, size, mtime_ns]
 
     def to_json(self) -> str:
         return json.dumps(
             {
                 "partition": self.partition,
                 "input_files": self.input_files,
+                "input_fingerprint": self.input_fingerprint,
                 "rows": self.rows,
                 "wall_sec": self.wall_sec,
                 "status": self.status,
