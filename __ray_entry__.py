@@ -144,6 +144,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["url", "offset", "value"]
         )
 
+    def kg_regex_mentions(sf_dir: str):
+        """Mention rows of the REAL regex-PII battery, made
+        SQL-checkable: page text is a deterministic single-sentence
+        carrier derived from doc_id alone ('Document number NNNNNNNNN
+        filed', synth.pii_pages_from_documents), so the full extract →
+        split → detect path must emit exactly one
+        NL_CITIZEN_SERVICE_NUMBER mention per page at offset 16 with
+        the 9-digit zero-padded id as value (reference pattern
+        ner.py:57; boundary-strip ner.py:227-231)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+
+        from transner_ray.pipelines import kg
+        from transner_ray.synth import pii_pages_from_documents
+
+        pages = rd.from_arrow(pii_pages_from_documents(sf_dir)).drop_columns(
+            ["warc_ts", "text"]
+        )
+        men = kg.mentions_dataset(kg.sentences_dataset(pages))
+
+        def project(t: pa.Table) -> pa.Table:
+            mask = pc.and_(
+                pc.equal(t["detector"], pa.scalar("regex")),
+                pc.equal(t["type"], pa.scalar("NL_CITIZEN_SERVICE_NUMBER")),
+            )
+            t = t.filter(mask)
+            return pa.table({"url": t["url"], "value": t["value"], "offset": t["offset"]})
+
+        return men.map_batches(project, batch_format="pyarrow").sort(
+            ["url", "offset", "value"]
+        )
+
     def kg_split_docs(sf_dir: str):
         """Sentence splitter over documents-derived pages — the split
         itself is SQL-checkable (same regex semantics in DuckDB)."""
@@ -197,6 +231,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,             # rows-only (sketch)
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup, # rows-only (sketch)
         "embedding_neardup": dedup.embedding_neardup,     # rows-only (LSH)
+        # SQL-checked gates for the sketch machinery: the same
+        # pipelines over a self-dup-augmented corpus, exact-dup slice
+        # (planted dup of EVERY row → SQL text/vector-equality oracle)
+        "minhash_selfdup_pairs": dedup.minhash_selfdup_pairs,
+        "ngram_selfdup_pairs": dedup.ngram_selfdup_pairs,
+        "embedding_selfdup_pairs": dedup.embedding_selfdup_pairs,
         # ---- similarity search ----
         "ann_brute_force": similarity.brute_force_topk,   # SQL-checked
         # IVF in EXACT mode (nprobe = n_centroids probes every list →
@@ -211,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_split_docs": kg_split_docs,
         "kg_sentences_docs": kg_sentences_docs,
         "kg_gazetteer_mentions": kg_gazetteer_mentions,
+        "kg_regex_mentions": kg_regex_mentions,
         "kg_sentences": _kg_sentences_only,
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
@@ -260,6 +301,9 @@ def oracle_sql() -> dict[str, str]:
         "word_repetition": textstats.WORD_REPETITION_SQL,
         "curate_corpus": textstats.CURATE_CORPUS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "minhash_selfdup_pairs": dedup.SELFDUP_PAIRS_SQL,
+        "ngram_selfdup_pairs": dedup.NGRAM_SELFDUP_PAIRS_SQL,
+        "embedding_selfdup_pairs": dedup.EMB_SELFDUP_PAIRS_SQL,
         "ann_brute_force": similarity.brute_force_topk_sql(),
         # exact-mode IVF (nprobe = n_centroids) equals brute force
         "ann_ivf": similarity.brute_force_topk_sql(),
@@ -281,6 +325,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strpos(text, w) - 1 AS BIGINT) AS "offset"
             FROM toks
             WHERE w IN {_KG_GAZ_WORDS!r}
+            ORDER BY url, "offset", value
+        """,
+        "kg_regex_mentions": """
+            SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0') AS value,
+                   CAST(16 AS BIGINT) AS "offset"
+            FROM documents
             ORDER BY url, "offset", value
         """,
         "media_metadata": multimodal.MEDIA_METADATA_SQL,

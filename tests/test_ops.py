@@ -463,3 +463,27 @@ def test_scaled_fanout_grows_with_input():
     # pair-generation fan-out: floor at bench scale, grows at corpus scale
     assert _pair_buckets(8_000) == 64
     assert _pair_buckets(10**9) >= 64 * 1000
+
+
+# --------------------------------------- SQL-checked sketch-op gates
+
+def test_selfdup_pair_gates_vs_duckdb(con):
+    """VERDICT r2 #3: the sketch ops' exact-duplicate slices over the
+    self-dup-augmented corpus (planted dup of every row) must equal
+    their SQL oracles — this drives the full LSH machinery (featurize,
+    banding, bucketed pair gen, prefilter, semi-filtered verify join)
+    through a value-checked gate instead of rows-only."""
+    from transner_ray.ops import dedup
+
+    _check(dedup.minhash_selfdup_pairs, dedup.SELFDUP_PAIRS_SQL, con)
+    _check(dedup.ngram_selfdup_pairs, dedup.NGRAM_SELFDUP_PAIRS_SQL, con)
+    _check(dedup.embedding_selfdup_pairs, dedup.EMB_SELFDUP_PAIRS_SQL, con)
+
+
+def test_kg_regex_mentions_vs_duckdb(con):
+    """The regex-PII battery through the REAL extract → split → detect
+    path over deterministic carrier pages, value-checked against SQL."""
+    import importlib
+
+    e = importlib.import_module("__ray_entry__")
+    _check(e.queries()["kg_regex_mentions"], e.oracle_sql()["kg_regex_mentions"], con)

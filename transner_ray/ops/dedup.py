@@ -43,9 +43,9 @@ per key:
   ``pbucket`` whose count scales with the corpus, so each reduce task
   holds a bounded slice of the normalized vectors.
 
-All hashes are deterministic (memoized crc32 word hashes + splitmix64
-mixing — never Python ``hash``, which is salted per process), so every
-run and every parallelism level agrees.
+All hashes are deterministic (fixed-key vectorized siphash for words +
+splitmix64 mixing — never Python ``hash``, which is salted per
+process), so every run and every parallelism level agrees.
 """
 
 from __future__ import annotations
@@ -616,19 +616,33 @@ def _verify_pairs_jaccard(
     return j.map_batches(verify, batch_format="pandas").sort(["doc_a", "doc_b"])
 
 
-def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
-    """Near-dup pairs by word-3-shingle MinHash-LSH with exact Jaccard
-    verification; returns (doc_a, doc_b, jaccard) sorted. The shingle
-    sets are computed ONCE (materialized feature dataset shared by the
-    banding pass and the verify joins)."""
-    npb = _pair_buckets(_docs_rows(sf_dir))
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
+def _minhash_lsh_pairs(
+    docs: rd.Dataset,
+    n_docs: int | None,
+    jaccard_threshold: float,
+    batch_featurizer,
+) -> rd.Dataset:
+    """Shared MinHash-LSH core: featurize once (materialized feature
+    dataset shared by the banding pass and the verify joins) → band →
+    estimate-prefiltered pairs → exact-Jaccard verify."""
+    npb = _pair_buckets(n_docs)
     feats = docs.map_batches(
-        _featurize_batch(_word_shingle_hashes_batch), batch_format="pyarrow"
+        _featurize_batch(batch_featurizer), batch_format="pyarrow"
     ).materialize()
     bands = feats.map_batches(_make_minhash_band_rows(npb), batch_format="pyarrow")
     pairs = _pairs_from_band_rows(bands, est_jaccard_threshold(jaccard_threshold))
     return _verify_pairs_jaccard(pairs, feats, jaccard_threshold, num_buckets=npb)
+
+
+def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
+    """Near-dup pairs by word-3-shingle MinHash-LSH with exact Jaccard
+    verification; returns (doc_a, doc_b, jaccard) sorted."""
+    return _minhash_lsh_pairs(
+        _read_docs(sf_dir, ["doc_id", "text"]),
+        _docs_rows(sf_dir),
+        jaccard_threshold,
+        _word_shingle_hashes_batch,
+    )
 
 
 # ----------------------------------------------------- n-gram Jaccard
@@ -637,14 +651,106 @@ def ngram_jaccard_dedup(sf_dir: str, jaccard_threshold: float = 0.6) -> rd.Datas
     """Char-4-gram Jaccard near-dup: MinHash-LSH candidates over char
     n-grams, exact verification. Same machinery as minhash_dedup at the
     character level (robust to word-order edits)."""
-    npb = _pair_buckets(_docs_rows(sf_dir))
+    return _minhash_lsh_pairs(
+        _read_docs(sf_dir, ["doc_id", "text"]),
+        _docs_rows(sf_dir),
+        jaccard_threshold,
+        _char_ngram_hashes_batch,
+    )
+
+
+# ------------------------------------------- SQL-checkable dup gates
+
+SELFDUP_ID_OFFSET = 100_000_000
+
+
+def _selfdup_docs(sf_dir: str) -> rd.Dataset:
+    """documents ∪ an id-shifted copy: every doc gets a planted exact
+    duplicate, so the *exact-duplicate* slice of a sketch op's output
+    is SQL-derivable (text-equality pair expansion) while still
+    exercising the full distributed machinery — featurize, banding,
+    bucketed pair generation, estimate prefilter, semi-filtered verify
+    join — on every row."""
+    import pyarrow.compute as pc
+
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    feats = docs.map_batches(
-        _featurize_batch(_char_ngram_hashes_batch), batch_format="pyarrow"
-    ).materialize()
-    bands = feats.map_batches(_make_minhash_band_rows(npb), batch_format="pyarrow")
-    pairs = _pairs_from_band_rows(bands, est_jaccard_threshold(jaccard_threshold))
-    return _verify_pairs_jaccard(pairs, feats, jaccard_threshold, num_buckets=npb)
+    shifted = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], pa.scalar(SELFDUP_ID_OFFSET, pa.int64())),
+                "text": t["text"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return docs.union(shifted)
+
+
+def _filter_eq(col: str, value: float):
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t[col], pa.scalar(value, pa.float64())))
+
+    return fn
+
+
+def minhash_selfdup_pairs(sf_dir: str) -> rd.Dataset:
+    """The driver-gate variant of minhash_dedup (VERDICT r2 #3a): run
+    the REAL pipeline over the self-dup-augmented corpus and keep the
+    jaccard = 1.0 pairs. Identical texts have identical shingle sets →
+    identical signatures → collide in every band (groups of size 2,
+    far under GROUP_PAIR_CAP) → estimate 1.0 passes the prefilter →
+    exact Jaccard exactly 1.0. The corpus's planted near-dups top out
+    well below 1.0 (measured 0.989), so the slice equals the SQL
+    text-equality pair expansion."""
+    n = _docs_rows(sf_dir)
+    pairs = _minhash_lsh_pairs(
+        _selfdup_docs(sf_dir), (n or 0) * 2 or None, 0.5, _word_shingle_hashes_batch
+    )
+    return pairs.map_batches(_filter_eq("jaccard", 1.0), batch_format="pyarrow")
+
+
+def ngram_selfdup_pairs(sf_dir: str) -> rd.Dataset:
+    """As minhash_selfdup_pairs, over the char-4-gram machinery."""
+    n = _docs_rows(sf_dir)
+    pairs = _minhash_lsh_pairs(
+        _selfdup_docs(sf_dir), (n or 0) * 2 or None, 0.6, _char_ngram_hashes_batch
+    )
+    return pairs.map_batches(_filter_eq("jaccard", 1.0), batch_format="pyarrow")
+
+
+SELFDUP_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {SELFDUP_ID_OFFSET} AS doc_id, text FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
+FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+# jaccard = 1.0 for the char-4-gram op means IDENTICAL GRAM SETS, which
+# two different texts can share (same vocabulary, reordered — observed
+# in the corpus); the oracle therefore compares sorted-distinct gram
+# strings, not raw text. Char-based substr == our byte-based grams on
+# this ASCII corpus; all corpus texts exceed 4 chars (the short-text
+# padding branch never fires).
+NGRAM_SELFDUP_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, lower(text) AS ltext FROM documents
+  UNION ALL SELECT doc_id + {SELFDUP_ID_OFFSET} AS doc_id, lower(text) FROM documents
+), grams AS (
+  SELECT doc_id, substr(ltext, CAST(i AS INTEGER), 4) AS gm
+  FROM corpus, LATERAL unnest(generate_series(1, length(ltext) - 3)) AS t(i)
+), keys AS (
+  SELECT doc_id, string_agg(DISTINCT gm, chr(30) ORDER BY gm) AS gkey
+  FROM grams GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
+FROM keys a JOIN keys b ON a.gkey = b.gkey AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
 
 
 # -------------------------------------------------------------- SimHash
@@ -729,7 +835,10 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         frames = []
         for band, (off, width) in enumerate(layout):
             key = (sigs >> np.uint64(off)) & np.uint64((1 << width) - 1)
-            mixed = _mix64(key ^ np.uint64(band) * np.uint64(0x9E3779B97F4A7C15))
+            # pre-masked Python-int product: a uint64 scalar multiply
+            # wraps identically but spams RuntimeWarning per batch
+            salt = np.uint64((band * 0x9E3779B97F4A7C15) & _MASK)
+            mixed = _mix64(key ^ salt)
             frames.append(
                 pd.DataFrame(
                     {
@@ -804,15 +913,25 @@ def embedding_neardup(
 
     path = f"{sf_dir}/embeddings.parquet"
     n_rows = pq.read_metadata(path).num_rows
+    from .io import read_parquet_sized
+
+    emb = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    return _embedding_neardup_over(emb, n_rows, cos_threshold, n_planes, pair_chunk)
+
+
+def _embedding_neardup_over(
+    emb: rd.Dataset,
+    n_rows: int,
+    cos_threshold: float,
+    n_planes: int | None,
+    pair_chunk: int,
+) -> rd.Dataset:
     if n_planes is None:
         n_planes = int(min(24, max(8, np.ceil(np.log2(max(n_rows, 2) / EMB_TARGET_BUCKET)))))
     # pbucket fan-out scales with the corpus like the planes do, so one
     # reduce task holds ~DOCS_PER_PAIR_BUCKET normalized vectors, not a
     # fixed 1/64 of them
     npb = _pair_buckets(n_rows)
-    from .io import read_parquet_sized
-
-    emb = read_parquet_sized(path, columns=["vec_id", "embedding"])
 
     def bucket_batch(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(df["embedding"].to_numpy())
@@ -872,3 +991,47 @@ def embedding_neardup(
     return buckets.groupby("pbucket").map_groups(reduce_bucket, batch_format="pandas").sort(
         ["vec_a", "vec_b"]
     )
+
+
+def embedding_selfdup_pairs(sf_dir: str, cos_threshold: float = 0.9) -> rd.Dataset:
+    """Driver-gate variant of embedding_neardup (VERDICT r2 #3): run
+    the REAL SRP-LSH pipeline over embeddings ∪ an id-shifted copy
+    (every vector gets a planted exact duplicate) and keep the
+    cosine = 1.0 pairs. An identical vector lands in the identical SRP
+    bucket (single-probe misses cannot occur for equal inputs), and
+    the exact verify of two identically-normalized vectors rounds to
+    exactly 1.0 — so the slice equals the SQL embedding-equality pair
+    expansion. The corpus's natural pairs sit far below the
+    threshold at gate scale (measured: zero ≥ 0.9), never at 1.0."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .io import read_parquet_sized
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    emb = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    shifted = emb.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], pa.scalar(SELFDUP_ID_OFFSET, pa.int64())),
+                "embedding": t["embedding"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = _embedding_neardup_over(
+        emb.union(shifted), n_rows * 2, cos_threshold, None, 2048
+    )
+    return pairs.map_batches(_filter_eq("cosine", 1.0), batch_format="pyarrow")
+
+
+EMB_SELFDUP_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + {SELFDUP_ID_OFFSET} AS vec_id, embedding FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, 1.0 AS cosine
+FROM corpus a JOIN corpus b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+ORDER BY vec_a, vec_b
+"""

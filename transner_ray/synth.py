@@ -224,3 +224,30 @@ def pages_from_documents(sf_dir: str) -> pa.Table:
         for d, t, lg in zip(doc_ids, texts, langs)
     ]
     return pa.Table.from_pylist(rows, schema=PAGES)
+
+
+def pii_pages_from_documents(sf_dir: str) -> pa.Table:
+    """Pages whose text is a deterministic single-sentence PII carrier
+    derived from doc_id ALONE: ``Document number NNNNNNNNN filed``
+    (9-digit zero-padded id → exactly one NL_CITIZEN_SERVICE_NUMBER
+    regex-battery hit at offset 16, no sentence-splitting punctuation,
+    no other pattern can fire). Makes the regex-PII detection stage
+    SQL-checkable end-to-end through the REAL extract → split → detect
+    path (reference patterns at ner.py:55-63)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for d in docs["doc_id"].to_pylist():
+        url = f"https://docs.example/{d:08d}"
+        text = f"Document number {d % 1_000_000_000:09d} filed"
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": EPOCH_BASE_US + d * 1_000_000,
+                "html": wrap_html(url, text),
+                "text": text,
+                "lang": "en",
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=PAGES)
