@@ -145,11 +145,19 @@ def bench_queries() -> dict:
 PLAIN_KG_REPS = int(os.environ.get("GRAFT_PLAIN_KG_REPS", "2"))
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def run_plain() -> dict:
     _init_ray()
-    # best-of-N: the host carries co-tenant load that only ever SLOWS a
-    # run (the pipeline is fixed-overhead-dominated at this sf); both
-    # rep values are disclosed below
+    # best-of-N headline: the host carries co-tenant load that only
+    # ever SLOWS a run (the pipeline is fixed-overhead-dominated at
+    # this sf). The MEDIAN is reported alongside so regression
+    # tracking does not depend on the most favorable order statistic,
+    # and every rep value is disclosed.
     runs = [bench_kg() for _ in range(PLAIN_KG_REPS)]
     kg_stats = min(runs, key=lambda r: r["sec"])
     queries = bench_queries()
@@ -168,6 +176,7 @@ def run_plain() -> dict:
         "narrow_sec": round(kg_stats["narrow_sec"], 3),
         "wide_sec": round(kg_stats["wide_sec"], 3),
         "kg_all_runs_sec": [round(r["sec"], 3) for r in runs],
+        "kg_median_sec": round(_median([r["sec"] for r in runs]), 3),
     }
     import ray
 
@@ -243,6 +252,15 @@ def run_scaling() -> dict:
         f"triples_per_sec_{4 * SCALING_N}": round(hi["triples_per_sec"], 2),
         f"all_docs_per_sec_{SCALING_N}": [round(r["docs_per_sec"], 2) for r in los],
         f"all_docs_per_sec_{4 * SCALING_N}": [round(r["docs_per_sec"], 2) for r in his],
+        f"median_docs_per_sec_{SCALING_N}": round(_median([r["docs_per_sec"] for r in los]), 2),
+        f"median_docs_per_sec_{4 * SCALING_N}": round(
+            _median([r["docs_per_sec"] for r in his]), 2
+        ),
+        "median_efficiency": round(
+            (_median([r["docs_per_sec"] for r in his])
+             / _median([r["docs_per_sec"] for r in los])) / 4,
+            3,
+        ),
         "reps": SCALING_REPS,
         "sf": SF_DIR,
     }

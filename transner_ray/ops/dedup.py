@@ -550,14 +550,20 @@ def _verify_pairs_jaccard(
     feats: rd.Dataset,
     threshold: float,
     num_buckets: int = NUM_PAIR_BUCKETS,
+    n_docs: int | None = None,
 ) -> rd.Dataset:
     """Exact-Jaccard verification with NO corpus broadcast: the pair
     list is hash-joined back to the per-doc feature blobs (twice — for
     doc_a and doc_b, via the bucketed reduce-side join), then verified
-    per batch from the deserialized uint64 sets. The feats side is
-    SEMI-FILTERED to candidate docs first (_semi_filter_feats), so the
-    verify shuffle moves blobs only for docs that appear in a
-    surviving pair — not the whole corpus.
+    per batch from the deserialized uint64 sets. When the candidate
+    set is SELECTIVE (upper-bound 2·n_pairs ids < half the corpus),
+    the feats side is semi-filtered to candidate docs first
+    (_semi_filter_feats) and the filtered set is pinned once for both
+    attach rounds — the verify shuffle then moves blobs only for docs
+    that appear in a surviving pair. When candidates cover most of the
+    corpus (small inputs, low thresholds), the filter is skipped: it
+    would shrink nothing and costs an extra execution round (measured
+    +~4 s at the 8k-doc tier where half the docs are candidates).
 
     The pair list is materialized first (it is tiny — candidate pairs
     only) so the no-candidates case can short-circuit: a join over a
@@ -574,7 +580,10 @@ def _verify_pairs_jaccard(
                 }
             )
         )
-    cand_feats = _semi_filter_feats(pairs, feats, n_pairs)
+    if n_docs is not None and 2 * n_pairs < n_docs // 2:
+        cand_feats = _semi_filter_feats(pairs, feats, n_pairs).materialize()
+    else:
+        cand_feats = feats
     j = _attach_feats(
         pairs,
         cand_feats,
@@ -631,7 +640,9 @@ def _minhash_lsh_pairs(
     ).materialize()
     bands = feats.map_batches(_make_minhash_band_rows(npb), batch_format="pyarrow")
     pairs = _pairs_from_band_rows(bands, est_jaccard_threshold(jaccard_threshold))
-    return _verify_pairs_jaccard(pairs, feats, jaccard_threshold, num_buckets=npb)
+    return _verify_pairs_jaccard(
+        pairs, feats, jaccard_threshold, num_buckets=npb, n_docs=n_docs
+    )
 
 
 def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
@@ -720,13 +731,28 @@ def ngram_selfdup_pairs(sf_dir: str) -> rd.Dataset:
     return pairs.map_batches(_filter_eq("jaccard", 1.0), batch_format="pyarrow")
 
 
+# jaccard = 1.0 for the word-3-shingle op means IDENTICAL SHINGLE
+# SETS, which two different texts can share (reordered blocks with the
+# same shingle vocabulary — observed at sf0.1); the oracle therefore
+# compares sorted-distinct shingle strings, not raw text. All corpus
+# texts exceed 3 words (the short-text XOR branch never fires).
 SELFDUP_PAIRS_SQL = f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + {SELFDUP_ID_OFFSET} AS doc_id, text FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+  UNION ALL
+  SELECT doc_id + {SELFDUP_ID_OFFSET} AS doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+           || ' ' || w[CAST(i AS INTEGER) + 2] AS s
+  FROM corpus, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+), keys AS (
+  SELECT doc_id, string_agg(DISTINCT s, chr(30) ORDER BY s) AS skey
+  FROM sh GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
-FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+FROM keys a JOIN keys b ON a.skey = b.skey AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
 

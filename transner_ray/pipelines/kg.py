@@ -63,6 +63,9 @@ def sentences_dataset(
     detect_batch_size: int = 256,
     use_actor_pool: bool = False,
     gazetteers=None,
+    tagger: str = "rule",
+    model_path: str | None = None,
+    detect_num_gpus: float = 0,
 ) -> rd.Dataset:
     """pages → nested sentence-mention rows (the narrow spine).
 
@@ -73,7 +76,10 @@ def sentences_dataset(
     far exceeds the CPU count. ``use_actor_pool=True`` switches to the
     ``MentionDetector`` actor pool (the shape the BertTagger GPU stage
     uses: model load amortized across batches, ``concurrency`` ×
-    ``num_gpus`` sized to the cluster). ``gazetteers`` overrides the
+    ``num_gpus`` sized to the cluster). On a GPU cluster pass
+    ``tagger='bert', model_path=..., detect_num_gpus=1`` — the actor
+    pool is forced on and each actor loads the model once (docs/
+    SCALE.md "GPU on-ramp"). ``gazetteers`` overrides the
     default lookup state (custom religion/city sets — also how the
     SQL-checked gazetteer-mention gate injects a corpus-vocabulary
     set)."""
@@ -81,13 +87,21 @@ def sentences_dataset(
     base = pages.map_batches(
         extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(split_sentences_batch, batch_format="pyarrow")
+    if tagger != "rule":
+        # a model tagger in the task path would reload weights on every
+        # worker-cache miss; force the amortizing shape
+        use_actor_pool = True
     if use_actor_pool:
+        kwargs: dict = {"gazetteers_ref": gz_ref}
+        if tagger != "rule":
+            kwargs.update(tagger=tagger, model_path=model_path)
         return base.map_batches(
             MentionDetector,
             batch_format="pyarrow",
             batch_size=detect_batch_size,
             concurrency=detect_concurrency or (1, 8),
-            fn_constructor_kwargs={"gazetteers_ref": gz_ref},
+            fn_constructor_kwargs=kwargs,
+            **({"num_gpus": detect_num_gpus} if detect_num_gpus else {}),
         )
     from ..stages.detect import make_detect_fn
 

@@ -79,13 +79,25 @@ class MentionDetector:
         apply_regex: bool = True,
         apply_gazetteers: bool = True,
         apply_dates: bool = False,
+        tagger: str = "rule",
+        model_path: str | None = None,
     ):
         if gazetteers_ref is not None:
             gz: Gazetteers = ray.get(gazetteers_ref)
         else:
             gz = default_gazetteers()
         self.gz = gz
-        self.tagger = RuleTagger(gz)  # swap for BertTagger on GPU clusters
+        if tagger == "bert":
+            # GPU-cluster path (docs/SCALE.md "GPU on-ramp"): weights
+            # load ONCE per actor here; pair with
+            # sentences_dataset(use_actor_pool=True, detect_num_gpus=1)
+            from ..tagger import DEFAULT_MODELS_DIR, BertTagger, resolve_model_path
+
+            self.tagger = BertTagger(
+                resolve_model_path(model_path or "bert_uncased_base", DEFAULT_MODELS_DIR)
+            )
+        else:
+            self.tagger = RuleTagger(gz)
         self.threshold = threshold
         self.apply_regex = apply_regex
         self.apply_gazetteers = apply_gazetteers
