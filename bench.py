@@ -325,6 +325,60 @@ def run_probe() -> dict:
     }
 
 
+def run_stats() -> dict:
+    """Per-stage `ds.stats()` for the headline pipeline — the evidence
+    that wall time is dominated by useful compute (detection kernel)
+    rather than scheduling or shuffle overhead. Prints the narrow-spine
+    and wide-phase operator stats to stderr, one summary JSON line to
+    stdout."""
+    _init_ray()
+    import re
+
+    import ray
+    import ray.data as rd
+
+    from transner_ray.pipelines import kg
+
+    paths = _kg_paths()
+    shutil.rmtree(KG_SCRATCH, ignore_errors=True)
+    # stats() belongs to the EXECUTED dataset object — keep the handle
+    # that write_parquet drives
+    narrow_out = kg.linked_triples_dataset(
+        kg.sentences_dataset(kg.read_pages(paths))
+    ).repartition(16)
+    narrow_out.write_parquet(f"{KG_SCRATCH}/triples")
+    narrow_stats = narrow_out.stats()
+    triples = rd.read_parquet(f"{KG_SCRATCH}/triples").materialize()
+    edges = kg.edges_dataset(triples, settle=True)
+    edges.write_parquet(f"{KG_SCRATCH}/edges")
+    wide_stats = edges.stats()
+    print("==== narrow spine ====", file=sys.stderr)
+    print(narrow_stats, file=sys.stderr)
+    print("==== wide phase (edges) ====", file=sys.stderr)
+    print(wide_stats, file=sys.stderr)
+
+    _UNIT = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+
+    def udf_seconds(stats: str) -> float:
+        # sum the per-operator "UDF time" totals Ray prints (us/ms/s)
+        total = 0.0
+        for m in re.finditer(r"UDF time:.*?([0-9.]+)(us|ms|s) total", stats):
+            total += float(m.group(1)) * _UNIT[m.group(2)]
+        return round(total, 2)
+
+    result = {
+        "metric": "kg_pipeline_udf_time_sec",
+        "value": udf_seconds(narrow_stats) + udf_seconds(wide_stats),
+        "unit": "sec",
+        "narrow_udf_sec": udf_seconds(narrow_stats),
+        "wide_udf_sec": udf_seconds(wide_stats),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -332,5 +386,7 @@ if __name__ == "__main__":
         print(json.dumps(run_kg_only()))
     elif "--probe" in sys.argv:
         print(json.dumps(run_probe()))
+    elif "--stats" in sys.argv:
+        print(json.dumps(run_stats()))
     else:
         print(json.dumps(run_plain()))

@@ -487,3 +487,56 @@ def test_kg_regex_mentions_vs_duckdb(con):
 
     e = importlib.import_module("__ray_entry__")
     _check(e.queries()["kg_regex_mentions"], e.oracle_sql()["kg_regex_mentions"], con)
+
+
+# ------------------------------- featurizer batch/per-text properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs"), max_codepoint=0x2FF),
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts_strategy)
+def test_word_shingles_batch_equals_per_text(texts):
+    """The batch featurizer (one factorize + one vectorized hash over
+    the batch) must agree with the per-text entry point the sequential
+    oracle uses, for ANY batch composition — a word's hash may not
+    depend on its neighbors."""
+    from transner_ray.ops import dedup
+
+    batch = dedup._word_shingle_hashes_batch(texts)
+    for t, got in zip(texts, batch):
+        assert np.array_equal(got, dedup._word_shingle_hashes(t))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts_strategy)
+def test_simhash_batch_equals_per_text(texts):
+    from transner_ray.ops import dedup
+
+    sigs = dedup._simhash_batch(texts)
+    for t, got in zip(texts, sigs):
+        assert int(got) == dedup._simhash64(t)
+
+
+def test_semi_filter_bloom_path_exact(planted, monkeypatch):
+    """Force the Bloom branch of the verify-join semi-filter
+    (CAND_IDS_EXACT_MAX=0): Bloom false positives may only let extra
+    feat rows through — the pair output must be identical to the
+    default (exact id broadcast) run."""
+    from transner_ray.ops import dedup
+
+    want = dedup.minhash_dedup(planted, jaccard_threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "CAND_IDS_EXACT_MAX", 0)
+    got = dedup.minhash_dedup(planted, jaccard_threshold=0.5).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 0  # the fixture plants real pairs
