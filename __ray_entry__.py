@@ -77,7 +77,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from transner_ray.ops import dedup, multimodal, relational, similarity, textstats
+    from transner_ray.ops import dedup, multimodal, pack, relational, similarity, textstats
     from transner_ray.pipelines import kg
     from transner_ray.synth import pages_from_documents
 
@@ -236,7 +236,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (planted dup of EVERY row → SQL text/vector-equality oracle)
         "minhash_selfdup_pairs": dedup.minhash_selfdup_pairs,
         "ngram_selfdup_pairs": dedup.ngram_selfdup_pairs,
+        "simhash_selfdup_pairs": dedup.simhash_selfdup_pairs,
         "embedding_selfdup_pairs": dedup.embedding_selfdup_pairs,
+        # ---- sequence packing (distributed prefix scan; SQL-checked) ----
+        "pack_chunks": pack.pack_chunks,
         # ---- similarity search ----
         "ann_brute_force": similarity.brute_force_topk,   # SQL-checked
         # IVF in EXACT mode (nprobe = n_centroids probes every list →
@@ -265,7 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from transner_ray.ops import dedup, multimodal, relational, similarity, textstats
+    from transner_ray.ops import dedup, multimodal, pack, relational, similarity, textstats
 
     return {
         "lineitem_pricing": relational.LINEITEM_PRICING_SQL,
@@ -301,8 +304,10 @@ def oracle_sql() -> dict[str, str]:
         "word_repetition": textstats.WORD_REPETITION_SQL,
         "curate_corpus": textstats.CURATE_CORPUS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "pack_chunks": pack.PACK_CHUNKS_SQL,
         "minhash_selfdup_pairs": dedup.SELFDUP_PAIRS_SQL,
         "ngram_selfdup_pairs": dedup.NGRAM_SELFDUP_PAIRS_SQL,
+        "simhash_selfdup_pairs": dedup.SIMHASH_SELFDUP_PAIRS_SQL,
         "embedding_selfdup_pairs": dedup.EMB_SELFDUP_PAIRS_SQL,
         "ann_brute_force": similarity.brute_force_topk_sql(),
         # exact-mode IVF (nprobe = n_centroids) equals brute force

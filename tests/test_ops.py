@@ -477,6 +477,7 @@ def test_selfdup_pair_gates_vs_duckdb(con):
 
     _check(dedup.minhash_selfdup_pairs, dedup.SELFDUP_PAIRS_SQL, con)
     _check(dedup.ngram_selfdup_pairs, dedup.NGRAM_SELFDUP_PAIRS_SQL, con)
+    _check(dedup.simhash_selfdup_pairs, dedup.SIMHASH_SELFDUP_PAIRS_SQL, con)
     _check(dedup.embedding_selfdup_pairs, dedup.EMB_SELFDUP_PAIRS_SQL, con)
 
 
@@ -540,3 +541,47 @@ def test_semi_filter_bloom_path_exact(planted, monkeypatch):
     got = dedup.minhash_dedup(planted, jaccard_threshold=0.5).to_pandas()
     pd.testing.assert_frame_equal(got, want)
     assert len(want) > 0  # the fixture plants real pairs
+
+
+# ---------------------------------------------------------------- pack
+
+
+def test_pack_chunks_vs_duckdb(con):
+    from transner_ray.ops import pack
+
+    _check(pack.pack_chunks, pack.PACK_CHUNKS_SQL, con)
+
+
+def test_pack_chunks_multibucket_scan():
+    """Force many scan buckets (range_width=16 → ~32 buckets at 500
+    docs): the distributed exclusive prefix scan must stitch bucket
+    boundaries exactly — the result is invariant to the bucket width."""
+    from transner_ray.ops import pack
+
+    base = pack.pack_chunks(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    tiny = (
+        pack.pack_chunks(SF, range_width=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(tiny, base)
+    assert base["chunk_id"].is_monotonic_increasing
+    assert (base["chunk_offset"] < pack.CHUNK_TOKENS).all()
+    # exclusive-scan identity: offset+chunk_id*budget == cumsum-before
+    cum_before = base["n_tokens"].cumsum() - base["n_tokens"]
+    assert (
+        base["chunk_id"] * pack.CHUNK_TOKENS + base["chunk_offset"] == cum_before
+    ).all()
+
+
+def test_pack_chunks_budget_param():
+    """A different token budget repacks consistently (every chunk except
+    the last is fully attributable: sum of tokens starting in chunk k
+    plus the carry-in spill covers the budget)."""
+    from transner_ray.ops import pack
+
+    df = pack.pack_chunks(SF, chunk_tokens=257).to_pandas()
+    cum_before = df.sort_values("doc_id")["n_tokens"].cumsum() - df["n_tokens"]
+    assert (df["chunk_id"] == cum_before // 257).all()
+    assert (df["chunk_offset"] == cum_before % 257).all()

@@ -779,6 +779,42 @@ ORDER BY doc_a, doc_b
 """
 
 
+def simhash_selfdup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """The driver-gate variant of simhash_dedup: the REAL pipeline
+    (signature batch, pigeonhole banding, bucketed popcount reduce,
+    pair distinct) over the self-dup-augmented corpus, sliced to the
+    planted pairs ``doc_b - doc_a == SELFDUP_ID_OFFSET``. A pair with
+    exactly that id gap is BY CONSTRUCTION an (original, its copy)
+    pair — original↔original and copy↔copy gaps are < OFFSET, and
+    cross pairs (a, b+OFFSET) with b != a have gap OFFSET + (b-a) —
+    so the slice is SQL-derivable as simply every doc_id: identical
+    text → identical signature → collides in EVERY band → hamming 0.
+    Band groups stay under GROUP_PAIR_CAP (max text multiplicity in
+    the corpus is 2 → same-signature groups of ≤4 rows → ≤6 pairs),
+    so the star regime never drops a planted pair."""
+    import pyarrow.compute as pc
+
+    n = _docs_rows(sf_dir)
+    pairs = _simhash_pairs_over(
+        _selfdup_docs(sf_dir), (n or 0) * 2 or None, max_hamming
+    )
+
+    def keep_planted(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(t["doc_b"], t["doc_a"])
+        return t.filter(pc.equal(gap, pa.scalar(SELFDUP_ID_OFFSET, pa.int64())))
+
+    return pairs.map_batches(keep_planted, batch_format="pyarrow")
+
+
+SIMHASH_SELFDUP_PAIRS_SQL = f"""
+SELECT doc_id AS doc_a,
+       doc_id + {SELFDUP_ID_OFFSET} AS doc_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents
+ORDER BY doc_a, doc_b
+"""
+
+
 # -------------------------------------------------------------- SimHash
 
 _BIT_POWERS = np.uint64(1) << np.arange(64, dtype=np.uint64)
@@ -851,9 +887,16 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     ``_band_group_pairs``'s anchor-star regime, where a member↔member
     pair is emitted only via its anchor edges or another band's
     ≤-cap collision — see the recall bound documented there."""
+    return _simhash_pairs_over(
+        _read_docs(sf_dir, ["doc_id", "text"]), _docs_rows(sf_dir), max_hamming
+    )
+
+
+def _simhash_pairs_over(
+    docs: rd.Dataset, n_rows: int | None, max_hamming: int
+) -> rd.Dataset:
     layout = _simhash_band_layout(max_hamming)
-    npb = _pair_buckets(_docs_rows(sf_dir))
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    npb = _pair_buckets(n_rows)
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
         sigs = _simhash_batch(list(df["text"]))
