@@ -77,7 +77,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from transner_ray.ops import dedup, multimodal, pack, relational, similarity, textstats
+    from transner_ray.ops import (
+        dedup,
+        multimodal,
+        pack,
+        relational,
+        similarity,
+        textstats,
+        traindata,
+    )
     from transner_ray.pipelines import kg
     from transner_ray.synth import pages_from_documents
 
@@ -240,6 +248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_selfdup_pairs": dedup.embedding_selfdup_pairs,
         # ---- sequence packing (distributed prefix scan; SQL-checked) ----
         "pack_chunks": pack.pack_chunks,
+        # ---- training-data curation (all SQL-checked) ----
+        "decontaminate": traindata.decontaminate,
+        "vocab_topk": traindata.vocab_topk,
+        "stratified_sample": traindata.stratified_sample,
         # ---- similarity search ----
         "ann_brute_force": similarity.brute_force_topk,   # SQL-checked
         # IVF in EXACT mode (nprobe = n_centroids probes every list →
@@ -268,7 +280,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from transner_ray.ops import dedup, multimodal, pack, relational, similarity, textstats
+    from transner_ray.ops import (
+        dedup,
+        multimodal,
+        pack,
+        relational,
+        similarity,
+        textstats,
+        traindata,
+    )
 
     return {
         "lineitem_pricing": relational.LINEITEM_PRICING_SQL,
@@ -305,6 +325,9 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": textstats.CURATE_CORPUS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "pack_chunks": pack.PACK_CHUNKS_SQL,
+        "decontaminate": traindata.DECONTAMINATE_SQL,
+        "vocab_topk": traindata.VOCAB_TOPK_SQL,
+        "stratified_sample": traindata.stratified_sample_sql(),
         "minhash_selfdup_pairs": dedup.SELFDUP_PAIRS_SQL,
         "ngram_selfdup_pairs": dedup.NGRAM_SELFDUP_PAIRS_SQL,
         "simhash_selfdup_pairs": dedup.SIMHASH_SELFDUP_PAIRS_SQL,

@@ -585,3 +585,64 @@ def test_pack_chunks_budget_param():
     cum_before = df.sort_values("doc_id")["n_tokens"].cumsum() - df["n_tokens"]
     assert (df["chunk_id"] == cum_before // 257).all()
     assert (df["chunk_offset"] == cum_before % 257).all()
+
+
+# ----------------------------------------------------------- traindata
+
+
+def test_decontaminate_vs_duckdb(con):
+    from transner_ray.ops import traindata
+
+    _check(traindata.decontaminate, traindata.DECONTAMINATE_SQL, con)
+
+
+def test_vocab_topk_vs_duckdb(con):
+    from transner_ray.ops import traindata
+
+    _check(traindata.vocab_topk, traindata.VOCAB_TOPK_SQL, con)
+
+
+def test_stratified_sample_vs_duckdb(con):
+    from transner_ray.ops import traindata
+
+    _check(traindata.stratified_sample, traindata.stratified_sample_sql(), con)
+
+
+def test_decontaminate_planted(tmp_path):
+    """A train doc sharing one 8-word gram with an eval doc is flagged;
+    a disjoint one is not; short docs (< n words) never flag."""
+    from transner_ray.ops import traindata
+
+    gram = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = {
+        "doc_id": [0, 1, 2, 3],  # 0 -> eval (0 % 20 == 0), rest train
+        "text": [
+            f"leading words {gram} trailing words here",
+            f"entirely different prefix {gram} and suffix",
+            "no overlap at all in this training document text ok",
+            "tiny doc",
+        ],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = traindata.decontaminate(str(tmp_path)).to_pandas()
+    got = dict(zip(out["doc_id"], out["contaminated"]))
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_stratified_sample_rates(tmp_path):
+    """Rate 0 drops a source entirely, rate 100 keeps all of it, and
+    the kept set is a pure function of doc_id (stable across calls)."""
+    from transner_ray.ops import traindata
+
+    n = 400
+    rows = {
+        "doc_id": list(range(n)),
+        "source": ["keepall" if i % 2 else "dropall" for i in range(n)],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    rates = {"keepall": 100, "dropall": 0}
+    out = traindata.stratified_sample(str(tmp_path), rates=rates).to_pandas()
+    assert set(out["source"]) == {"keepall"}
+    assert len(out) == n // 2
+    again = traindata.stratified_sample(str(tmp_path), rates=rates).to_pandas()
+    pd.testing.assert_frame_equal(out, again)

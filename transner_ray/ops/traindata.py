@@ -1,0 +1,252 @@
+"""Training-data curation ops beyond dedup: benchmark decontamination,
+global vocabulary statistics, and deterministic stratified sampling —
+the remaining stages a 100 TB pre-training pipeline runs between crawl
+and tokenizer.
+
+Scale design per op:
+
+* ``decontaminate`` — the eval/benchmark side of a contamination check
+  is SMALL by construction (benchmark suites are MBs, the train corpus
+  is the 100 TB side), so this is the canonical broadcast-semi-join:
+  the eval n-gram hash set is built once, ``ray.put`` once, and every
+  train batch probes it with one vectorized ``np.isin`` — zero
+  shuffle, the train side streams. An eval set too big to broadcast
+  would swap the exact set for a Bloom filter (the
+  ``relational.customers_without_big_orders`` pattern: Bloom prefilter
+  + exact re-check of hits), same dataflow.
+* ``vocab_topk`` — classic heavy-hitter aggregation: per-batch
+  combiner (one pandas groupby per batch collapses the Zipf head
+  before anything moves), bucketed hash-aggregate reduce
+  (ops/agg.bucketed_group_reduce — fan-out scales with input), then
+  per-bucket top-k so only ``buckets × k`` short rows ever reach the
+  driver. Correct because a word lives in exactly one bucket, so the
+  global top-k is a subset of the union of per-bucket top-ks.
+* ``stratified_sample`` — deterministic per-source rate sampling for
+  domain mixing: keep iff ``knuth32(doc_id) % 100 < rate[source]``.
+  Pure map, no shuffle, reproducible across runs/processes by
+  construction (no RNG state), and expressible in exact integer SQL —
+  which is the point: the sample a run takes is auditable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from .dedup import _batch_word_hashes, _mix64, _docs_rows, _read_docs
+
+# ------------------------------------------------- decontamination
+
+DECON_NGRAM = 8  # words per overlap gram (the common 8-13 range's floor)
+EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 -> synthetic held-out eval slice
+_FNV = np.uint64(0x100000001B3)
+
+
+def _wordgram_hashes(H: np.ndarray, n: int) -> np.ndarray:
+    """Word-hash array → sorted unique n-gram hashes (rolling
+    polynomial over n lanes, splitmix finalizer — the char-n-gram
+    recipe lifted to word lanes). Docs shorter than n words carry no
+    gram (they cannot contain an n-gram overlap)."""
+    if H.size < n:
+        return np.zeros(0, dtype=np.uint64)
+    m = H.size - n + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for lane in range(n):
+        acc = acc * _FNV + H[lane : lane + m]
+    return np.unique(_mix64(acc))
+
+
+def _wordgrams_batch(texts: list[str], n: int) -> list[np.ndarray]:
+    return [_wordgram_hashes(H, n) for H in _batch_word_hashes(texts)]
+
+
+def decontaminate(sf_dir: str, n: int = DECON_NGRAM, eval_mod: int = EVAL_MOD) -> rd.Dataset:
+    """(doc_id, contaminated) for every TRAIN document (doc_id %
+    eval_mod != 0): contaminated iff the doc shares at least one
+    n-word-gram with any EVAL document (doc_id % eval_mod == 0) — the
+    train/test-overlap filter every published pre-training pipeline
+    applies before the tokenizer.
+
+    The gram membership test runs on 64-bit gram hashes while the SQL
+    oracle compares gram STRINGS; a cross-side collision would flip a
+    flag, at probability ~|eval grams|·|train grams| / 2^64 —
+    negligible at any testable scale and still < 1e-4 at 10^12 grams.
+    """
+    import pyarrow as pa
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def is_eval(t: pa.Table) -> pa.Table:
+        # this pyarrow has no modulo kernel; numpy over the zero-copy
+        # int64 column is equivalent and allocation-free for the mask
+        mask = (t["doc_id"].to_numpy(zero_copy_only=False) % eval_mod) == 0
+        return t.filter(pa.array(mask))
+
+    # eval side: small by construction — collect its gram hashes once.
+    # (take_all on the EVAL slice only; the train side never
+    # materializes.)
+    eval_rows = docs.map_batches(is_eval, batch_format="pyarrow").take_all()
+    eval_grams = (
+        np.unique(np.concatenate(_wordgrams_batch([r["text"] for r in eval_rows], n)))
+        if eval_rows
+        else np.zeros(0, dtype=np.uint64)
+    )
+    grams_ref = ray.put(eval_grams)  # broadcast once, read per task
+
+    def flag_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["doc_id"] % eval_mod) != 0]
+        ev = ray.get(grams_ref)
+        grams = _wordgrams_batch(list(df["text"]), n)
+        hit = [bool(np.isin(g, ev, assume_unique=True).any()) for g in grams]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "contaminated": pd.Series(hit, dtype="bool").to_numpy(),
+            }
+        )
+
+    return docs.map_batches(flag_batch, batch_format="pandas").sort("doc_id")
+
+
+DECONTAMINATE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_aggregate(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + {DECON_NGRAM - 1}],
+                        'string_agg', ' ') AS g
+  FROM words, LATERAL unnest(generate_series(1, len(w) - {DECON_NGRAM - 1})) AS t(i)
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+)
+SELECT d.doc_id,
+       coalesce(max(CASE WHEN e.g IS NOT NULL THEN TRUE END), FALSE) AS contaminated
+FROM documents d
+LEFT JOIN grams t ON t.doc_id = d.doc_id
+LEFT JOIN eval_grams e ON t.g = e.g
+WHERE d.doc_id % {EVAL_MOD} != 0
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------- vocabulary top-k
+
+VOCAB_TOPK = 100
+
+
+def vocab_topk(sf_dir: str, k: int = VOCAB_TOPK) -> pd.DataFrame:
+    """Global top-k corpus vocabulary: (word, cnt), cnt desc then word
+    asc (deterministic ties). Words are the ``word_repetition``
+    tokens ([a-z]+ runs of the lowercased text). Combiner partials per
+    batch → bucketed hash-aggregate → per-bucket top-k → driver merges
+    buckets × k short rows."""
+    import re
+
+    from .agg import bucketed_group_reduce, hash_str_col
+
+    word_re = re.compile(r"[a-z]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words: list[str] = []
+        for t in df["text"]:
+            words.extend(word_re.findall(t.lower()))
+        if not words:
+            return pd.DataFrame({"word": pd.Series([], dtype="str"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        s = pd.Series(words, dtype="object")
+        g = s.groupby(s).size()
+        return pd.DataFrame({"word": g.index.to_numpy(), "cnt": g.to_numpy().astype("int64")})
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("word", as_index=False)["cnt"].sum()
+        # bucket-local top-k: the global top-k restricted to this
+        # bucket's words is a subset of this (words never split
+        # across buckets)
+        return tot.sort_values(["cnt", "word"], ascending=[False, True]).head(k)
+
+    partials = _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas")
+    per_bucket = bucketed_group_reduce(
+        partials,
+        lambda df: hash_str_col(df["word"]),
+        reduce,
+        input_rows=_docs_rows(sf_dir),
+    ).to_pandas()  # buckets × k rows — driver-safe at any corpus size
+    return (
+        per_bucket.sort_values(["cnt", "word"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+)
+GROUP BY w
+ORDER BY cnt DESC, word ASC
+LIMIT {VOCAB_TOPK}
+"""
+
+
+# ----------------------------------------------- stratified sampling
+
+# per-source keep percentages for the driver-gate entry: deterministic,
+# covers 0% (drop a source entirely), sub- and super-50% mixes
+SAMPLE_RATES = {f"src{i}": (i * 7) % 100 for i in range(20)}
+SAMPLE_DEFAULT_PCT = 50
+_KNUTH32 = 2654435761  # Knuth multiplicative hash constant
+_U32 = 1 << 32
+
+
+def stratified_sample(
+    sf_dir: str,
+    rates: dict[str, int] | None = None,
+    default_pct: int = SAMPLE_DEFAULT_PCT,
+) -> rd.Dataset:
+    """Deterministic domain-mixing sample of documents: keep a row iff
+    ``(doc_id * KNUTH32 mod 2^32) mod 100 < rates[source]``. No RNG
+    state — the selection is a pure function of (doc_id, source), so
+    reruns, resumes and multi-cluster re-executions take the SAME
+    sample, and the exact integer arithmetic makes the sample
+    auditable in SQL. Pure map over the stream: no shuffle, no state.
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+
+    def keep_batch(df: pd.DataFrame) -> pd.DataFrame:
+        u = (df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(_KNUTH32)) % np.uint64(
+            _U32
+        )
+        pct = df["source"].map(rates).fillna(default_pct).to_numpy(dtype=np.int64)
+        kept = df[(u % np.uint64(100)).astype(np.int64) < pct]
+        return pd.DataFrame(
+            {
+                "doc_id": kept["doc_id"].astype("int64").to_numpy(),
+                "source": kept["source"].to_numpy(),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "source"])
+        .map_batches(keep_batch, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+def stratified_sample_sql(
+    rates: dict[str, int] | None = None, default_pct: int = SAMPLE_DEFAULT_PCT
+) -> str:
+    rates = SAMPLE_RATES if rates is None else rates
+    cases = " ".join(f"WHEN '{s}' THEN {p}" for s, p in sorted(rates.items()))
+    return f"""
+SELECT doc_id, source
+FROM documents
+WHERE ((doc_id * {_KNUTH32}) % {_U32}) % 100
+      < (CASE source {cases} ELSE {default_pct} END)
+ORDER BY doc_id
+"""
