@@ -79,6 +79,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from transner_ray.ops import (
         dedup,
+        joins,
         multimodal,
         pack,
         relational,
@@ -252,6 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": traindata.decontaminate,
         "vocab_topk": traindata.vocab_topk,
         "stratified_sample": traindata.stratified_sample,
+        # ---- custom time-series joins (SQL-checked) ----
+        "asof_last_order": joins.last_order_before_event,
+        "range_join_windows": joins.range_join_windows,
         # ---- similarity search ----
         "ann_brute_force": similarity.brute_force_topk,   # SQL-checked
         # IVF in EXACT mode (nprobe = n_centroids probes every list →
@@ -282,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from transner_ray.ops import (
         dedup,
+        joins,
         multimodal,
         pack,
         relational,
@@ -328,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": traindata.DECONTAMINATE_SQL,
         "vocab_topk": traindata.VOCAB_TOPK_SQL,
         "stratified_sample": traindata.stratified_sample_sql(),
+        "asof_last_order": joins.ASOF_LAST_ORDER_SQL,
+        "range_join_windows": joins.RANGE_JOIN_WINDOWS_SQL,
         "minhash_selfdup_pairs": dedup.SELFDUP_PAIRS_SQL,
         "ngram_selfdup_pairs": dedup.NGRAM_SELFDUP_PAIRS_SQL,
         "simhash_selfdup_pairs": dedup.SIMHASH_SELFDUP_PAIRS_SQL,

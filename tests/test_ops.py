@@ -646,3 +646,85 @@ def test_stratified_sample_rates(tmp_path):
     assert len(out) == n // 2
     again = traindata.stratified_sample(str(tmp_path), rates=rates).to_pandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+# --------------------------------------------------------------- joins
+
+
+def test_asof_last_order_vs_duckdb(con):
+    from transner_ray.ops import joins
+
+    _check(joins.last_order_before_event, joins.ASOF_LAST_ORDER_SQL, con)
+
+
+def test_range_join_windows_vs_duckdb(con):
+    from transner_ray.ops import joins
+
+    _check(joins.range_join_windows, joins.RANGE_JOIN_WINDOWS_SQL, con)
+
+
+def test_asof_join_bucket_count_invariant():
+    """The bucketed merge_asof is exact per key, so the result must not
+    depend on the shuffle fan-out."""
+    from transner_ray.ops import joins
+
+    base = (
+        joins.last_order_before_event(SF).to_pandas().reset_index(drop=True)
+    )
+    for nb in (1, 7):
+        alt = (
+            joins.asof_join(
+                joins._read(SF, "events", ["event_id", "ts", "user_id"]),
+                joins._read(
+                    SF, "orders",
+                    ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+                ),
+                left_by="user_id",
+                right_by="o_custkey",
+                left_on="ts",
+                right_on="o_orderdate",
+                left_cols=["event_id"],
+                right_cols=["o_orderkey", "o_totalprice"],
+                tiebreak="o_orderkey",
+                num_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert len(alt) == len(base)
+        assert (alt["event_id"].to_numpy().astype("int64")
+                == base["event_id"].to_numpy()).all()
+        assert (alt["o_orderkey"].to_numpy().astype("int64")
+                == base["last_orderkey"].to_numpy()).all()
+
+
+def test_asof_join_tie_and_miss_semantics(tmp_path):
+    """Order-date ties resolve to the max tiebreak; left rows earlier
+    than every right row are dropped (inner semantics)."""
+    from transner_ray.ops import joins
+    import ray.data as rd
+
+    left = rd.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-10", "2024-01-01", "2024-01-10"]),
+        "event_id": [100, 101, 102],
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "o_custkey": [1, 1, 2],
+        "o_orderdate": pd.to_datetime(["2024-01-05", "2024-01-05", "2024-02-01"]),
+        "o_orderkey": [7, 9, 3],
+        "o_totalprice": [10.0, 20.0, 30.0],
+    }))
+    out = joins.asof_join(
+        left, right,
+        left_by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey", num_buckets=4,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # event 100: tie on 2024-01-05 -> orderkey 9 (max); event 101: no
+    # order yet -> dropped; event 102: right row is in the future -> dropped
+    assert out["event_id"].astype("int64").tolist() == [100]
+    assert out["o_orderkey"].astype("int64").tolist() == [9]
+    assert out["o_totalprice"].tolist() == [20.0]
