@@ -124,7 +124,15 @@ def _timed(fn, *args) -> float:
 
 
 def bench_queries() -> dict:
-    from transner_ray.ops import dedup, relational, similarity, textstats
+    from transner_ray.ops import (
+        dedup,
+        joins,
+        pack,
+        relational,
+        similarity,
+        textstats,
+        traindata,
+    )
 
     out = {}
     out["lineitem_pricing"] = _timed(relational.lineitem_pricing, SF_DIR)
@@ -139,6 +147,12 @@ def bench_queries() -> dict:
     out["ngram_jaccard_dedup"] = _timed(dedup.ngram_jaccard_dedup, SF_DIR)
     out["events_sliding"] = _timed(relational.events_sliding, SF_DIR)
     out["ann_brute_force"] = _timed(similarity.brute_force_topk, SF_DIR)
+    out["pack_chunks"] = _timed(pack.pack_chunks, SF_DIR)
+    out["decontaminate"] = _timed(traindata.decontaminate, SF_DIR)
+    out["vocab_topk"] = _timed(traindata.vocab_topk, SF_DIR)
+    out["stratified_sample"] = _timed(traindata.stratified_sample, SF_DIR)
+    out["asof_last_order"] = _timed(joins.last_order_before_event, SF_DIR)
+    out["range_join_windows"] = _timed(joins.range_join_windows, SF_DIR)
     return out
 
 
