@@ -187,6 +187,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["url", "offset", "value"]
         )
 
+    def _born_spine(sf_dir: str):
+        """extract → split → detect → triples over the born-in carrier
+        corpus (synth.born_pages_from_documents) with a single-word
+        PER/LOC phrase registry injected — every stage is the real
+        one; only the corpus and the lookup state are synthetic."""
+        import ray.data as rd
+
+        from transner_ray.gazetteers import Gazetteers
+        from transner_ray.pipelines import kg
+        from transner_ray.stages.triples import triples_batch
+        from transner_ray.synth import BORN_CITIES, BORN_PERSONS, born_pages_from_documents
+
+        pages = rd.from_arrow(born_pages_from_documents(sf_dir)).drop_columns(
+            ["warc_ts", "text"]
+        )
+        phrases = {(p,): "PER" for p in BORN_PERSONS}
+        phrases.update({(c,): "LOC" for c in BORN_CITIES})
+        gz = Gazetteers(
+            cities=frozenset(), religions=frozenset(), phrases=phrases, max_phrase_len=1
+        )
+        return kg.sentences_dataset(pages, gazetteers=gz).map_batches(
+            triples_batch, batch_format="pyarrow"
+        )
+
+    def kg_born_triples(sf_dir: str):
+        """One born_in triple per carrier page, through the REAL triple
+        extraction (kg.extract_triples first-PERSON / first-LOC-after
+        selection + born cue) — subj/pred/obj SQL-derivable from
+        doc_id."""
+        import pyarrow as pa
+
+        return (
+            _born_spine(sf_dir)
+            .map_batches(
+                lambda t: pa.table(
+                    {"url": t["url"], "subj": t["subj"], "pred": t["pred"], "obj": t["obj"]}
+                ),
+                batch_format="pyarrow",
+            )
+            .sort("url")
+        )
+
+    def kg_born_edges(sf_dir: str):
+        """The same chain continued through entity linking and the
+        partitioned hash-aggregate edge reduce (kg.edges_dataset) —
+        gates canonicalization (per:/loc: namespaces) and edge weights
+        in SQL."""
+        import pyarrow as pa
+
+        from transner_ray.pipelines import kg
+        from transner_ray.stages.graph import link_triples_batch
+
+        linked = _born_spine(sf_dir).map_batches(
+            link_triples_batch, batch_format="pyarrow"
+        )
+        edges = kg.edges_dataset(linked, settle=True)
+        return edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "subj_id": t["subj_id"],
+                    "pred": t["pred"],
+                    "obj_id": t["obj_id"],
+                    "weight": t["weight"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).sort(["subj_id", "obj_id"])
+
     def kg_split_docs(sf_dir: str):
         """Sentence splitter over documents-derived pages — the split
         itself is SQL-checkable (same regex semantics in DuckDB)."""
@@ -271,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sentences_docs": kg_sentences_docs,
         "kg_gazetteer_mentions": kg_gazetteer_mentions,
         "kg_regex_mentions": kg_regex_mentions,
+        "kg_born_triples": kg_born_triples,
+        "kg_born_edges": kg_born_edges,
         "kg_sentences": _kg_sentences_only,
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
@@ -281,6 +351,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             kg.linked_triples_dataset(_kg_spine(sf), link_mode="embedding"), settle=True
         ),
     }
+
+
+def _born_person_sql() -> str:
+    """DuckDB expression for BORN_PERSONS[doc_id % 5] (1-based list)."""
+    from transner_ray.synth import BORN_PERSONS
+
+    vals = ", ".join(f"'{p}'" for p in BORN_PERSONS)
+    return f"list_value({vals})[(doc_id % {len(BORN_PERSONS)}) + 1]"
+
+
+def _born_city_sql() -> str:
+    """DuckDB expression for BORN_CITIES[(3*doc_id + 1) % 7]."""
+    from transner_ray.synth import BORN_CITIES
+
+    vals = ", ".join(f"'{c}'" for c in BORN_CITIES)
+    return f"list_value({vals})[((3 * doc_id + 1) % {len(BORN_CITIES)}) + 1]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -368,6 +454,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS BIGINT) AS "offset"
             FROM documents
             ORDER BY url, "offset", value
+        """,
+        "kg_born_triples": f"""
+            SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   {_born_person_sql()} AS subj,
+                   'born_in' AS pred,
+                   {_born_city_sql()} AS obj
+            FROM documents
+            ORDER BY url
+        """,
+        "kg_born_edges": f"""
+            SELECT 'per:' || p AS subj_id, 'born_in' AS pred, 'loc:' || c AS obj_id,
+                   count(*) AS weight
+            FROM (
+              SELECT {_born_person_sql()} AS p, {_born_city_sql()} AS c FROM documents
+            )
+            GROUP BY 1, 2, 3
+            ORDER BY subj_id, obj_id
         """,
         "media_metadata": multimodal.MEDIA_METADATA_SQL,
         "kg_extract_text": """

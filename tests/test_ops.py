@@ -490,6 +490,46 @@ def test_kg_regex_mentions_vs_duckdb(con):
     _check(e.queries()["kg_regex_mentions"], e.oracle_sql()["kg_regex_mentions"], con)
 
 
+def test_kg_born_chain_vs_duckdb(con):
+    """The GRAPH side of the spine (triples → link → edge reduce)
+    through the REAL extract → split → detect → triples chain over the
+    born-in carrier corpus, value-checked against SQL. Covers the
+    born-cue selection in kg.extract_triples, per:/loc: linking, and
+    the partitioned hash-aggregate edge weights."""
+    import importlib
+
+    e = importlib.import_module("__ray_entry__")
+    q, o = e.queries(), e.oracle_sql()
+    _check(q["kg_born_triples"], o["kg_born_triples"], con)
+    _check(q["kg_born_edges"], o["kg_born_edges"], con)
+
+
+def test_born_carrier_buffer_word_is_load_bearing():
+    """Pin the stale-score decode quirk the carrier designs around:
+    with 'was' (score 0.60, crc32%23==0) directly after the person, the
+    LOC inherits the stale score and low-scored cities fall below the
+    0.75 threshold; the 'who' buffer (0.9265) keeps every city."""
+    from transner_ray.gazetteers import Gazetteers
+    from transner_ray.ner_core import ner_sentence
+    from transner_ray.synth import BORN_CITIES, BORN_PERSONS
+    from transner_ray.tagger import RuleTagger
+
+    phrases = {(p,): "PER" for p in BORN_PERSONS}
+    phrases.update({(c,): "LOC" for c in BORN_CITIES})
+    gz = Gazetteers(
+        cities=frozenset(), religions=frozenset(), phrases=phrases, max_phrase_len=1
+    )
+    tagger = RuleTagger(gz)
+
+    def loc_found(sent: str) -> bool:
+        return any(m["type"] == "LOCATION" for m in ner_sentence(sent, tagger, gz))
+
+    for city in BORN_CITIES:
+        assert loc_found(f"alice who was born in {city} town"), city
+    # 'amsterdam' scores 0.8559: mean with stale 'was' (0.60) = 0.727 < 0.75
+    assert not loc_found("alice was born in amsterdam town")
+
+
 # ------------------------------- featurizer batch/per-text properties
 
 from hypothesis import given, settings

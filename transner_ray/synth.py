@@ -251,3 +251,54 @@ def pii_pages_from_documents(sf_dir: str) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=PAGES)
+
+
+# ------------------------------------------------ born-in triple carrier
+
+# lowercase, alias-free, crc32%23 != 0 (never score-dropped, always
+# above the 0.75 confidence threshold), absent from the regex battery's
+# reach (no digits) — chosen so the spine's behavior over the carrier
+# is exactly derivable from doc_id
+BORN_PERSONS = ("alice", "bruno", "chiara", "davide", "elena")
+BORN_CITIES = ("amsterdam", "bologna", "cusco", "dresden", "erfurt", "faro", "geneva")
+
+
+def born_pages_from_documents(sf_dir: str) -> pa.Table:
+    """Pages whose text is a deterministic born-in carrier sentence
+    derived from doc_id ALONE: ``<person> who was born in <city> town``
+    (person = BORN_PERSONS[d % 5], city = BORN_CITIES[(3d+1) % 7]).
+    With a single-word PER/LOC phrase registry injected, the REAL
+    extract → split → detect → triples → link → edges chain must emit
+    exactly one ``born_in`` triple per page (kg.extract_triples born
+    cue; the trailing 'town' keeps the LOC off sentence-final position,
+    where the frozen decode drops it) — making the GRAPH side of the
+    spine SQL-checkable end-to-end.
+
+    The buffer word ``who`` between person and cue is load-bearing:
+    the frozen decode's stale-score reset (textops.bio_decode O-branch,
+    ner.py:437-450) leaves the score of the O-word that CLOSES the
+    PERSON span in ``active_scores`` when the LOC opens, so
+    LOC confidence = mean(score(buffer), score(city)). ``who`` scores
+    0.9265, putting every person×city combo above the 0.75 threshold
+    ('was' scores 0.60 — crc32%23 == 0 — and silently culls the four
+    cities scored < 0.90)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for d in docs["doc_id"].to_pylist():
+        url = f"https://docs.example/{d:08d}"
+        text = (
+            f"{BORN_PERSONS[d % len(BORN_PERSONS)]} who was born in "
+            f"{BORN_CITIES[(3 * d + 1) % len(BORN_CITIES)]} town"
+        )
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": EPOCH_BASE_US + d * 1_000_000,
+                "html": wrap_html(url, text),
+                "text": text,
+                "lang": "en",
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=PAGES)
