@@ -78,6 +78,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from transner_ray.ops import (
+        cc,
         dedup,
         joins,
         multimodal,
@@ -315,6 +316,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_selfdup_pairs": dedup.ngram_selfdup_pairs,
         "simhash_selfdup_pairs": dedup.simhash_selfdup_pairs,
         "embedding_selfdup_pairs": dedup.embedding_selfdup_pairs,
+        # ---- near-dup clustering (large-star/small-star CC) ----
+        # chain-graph gate is SQL-checked; the minhash-fed variant is
+        # rows-only (sketch upstream) with a union-find pytest oracle
+        "doc_chain_components": cc.doc_chain_components,
+        "neardup_clusters": cc.neardup_clusters,
         # ---- sequence packing (distributed prefix scan; SQL-checked) ----
         "pack_chunks": pack.pack_chunks,
         # ---- training-data curation (all SQL-checked) ----
@@ -371,6 +377,7 @@ def _born_city_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from transner_ray.ops import (
+        cc,
         dedup,
         joins,
         multimodal,
@@ -415,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "word_repetition": textstats.WORD_REPETITION_SQL,
         "curate_corpus": textstats.CURATE_CORPUS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "doc_chain_components": cc.DOC_CHAIN_COMPONENTS_SQL,
         "pack_chunks": pack.PACK_CHUNKS_SQL,
         "decontaminate": traindata.DECONTAMINATE_SQL,
         "vocab_topk": traindata.VOCAB_TOPK_SQL,

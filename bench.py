@@ -125,6 +125,7 @@ def _timed(fn, *args) -> float:
 
 def bench_queries() -> dict:
     from transner_ray.ops import (
+        cc,
         dedup,
         joins,
         pack,
@@ -142,6 +143,7 @@ def bench_queries() -> dict:
     out["token_counts"] = _timed(textstats.token_counts, SF_DIR)
     out["curate_corpus"] = _timed(textstats.curate_corpus, SF_DIR)
     out["exact_dedup"] = _timed(dedup.exact_dedup, SF_DIR)
+    out["doc_chain_components"] = _timed(cc.doc_chain_components, SF_DIR)
     out["minhash_dedup"] = _timed(dedup.minhash_dedup, SF_DIR)
     out["simhash_dedup"] = _timed(dedup.simhash_dedup, SF_DIR)
     out["ngram_jaccard_dedup"] = _timed(dedup.ngram_jaccard_dedup, SF_DIR)

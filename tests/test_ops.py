@@ -504,6 +504,107 @@ def test_kg_born_chain_vs_duckdb(con):
     _check(q["kg_born_edges"], o["kg_born_edges"], con)
 
 
+def _unionfind_components(a, b) -> pd.DataFrame:
+    """Sequential oracle: min-id component per node via union-find."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        parent[find(int(x))] = find(int(y))
+    comps: dict[int, list[int]] = {}
+    for v in parent:
+        comps.setdefault(find(v), []).append(v)
+    rows = [(v, min(vs)) for vs in comps.values() for v in vs]
+    return (
+        pd.DataFrame(rows, columns=["node", "component"])
+        .astype("int64")
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def test_connected_components_vs_unionfind():
+    """Star-contraction CC equals the sequential union-find oracle on
+    a random graph, a long path (max diameter — the adversarial case),
+    and a clique (max duplicate re-emission); bucket-count invariant."""
+    import ray.data as rd
+
+    from transner_ray.ops.cc import connected_components
+
+    def run(a, b, **kw):
+        ds = rd.from_pandas(pd.DataFrame({"doc_a": a, "doc_b": b}))
+        kw.setdefault("force_distributed", True)  # drive the star rounds
+        return (
+            connected_components(ds, **kw)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 300, 400)
+    b = rng.integers(0, 300, 400)
+    pd.testing.assert_frame_equal(run(a, b), _unionfind_components(a, b))
+
+    path_a = np.arange(0, 63)
+    path_b = np.arange(1, 64)
+    pd.testing.assert_frame_equal(
+        run(path_a, path_b), _unionfind_components(path_a, path_b)
+    )
+
+    cl = np.array([(x, y) for x in range(20) for y in range(20) if x != y])
+    pd.testing.assert_frame_equal(
+        run(cl[:, 0], cl[:, 1]), _unionfind_components(cl[:, 0], cl[:, 1])
+    )
+
+    # bucket-count invariance (keys never split; mins are associative)
+    pd.testing.assert_frame_equal(
+        run(a, b, num_buckets=3), run(a, b, num_buckets=16)
+    )
+
+    # sub-CC_EXACT_MAX driver fast path must agree with the star rounds
+    pd.testing.assert_frame_equal(
+        run(a, b, force_distributed=False), _unionfind_components(a, b)
+    )
+
+
+def test_connected_components_empty_pairs():
+    import ray.data as rd
+
+    from transner_ray.ops.cc import connected_components
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_a": [7], "doc_b": [7]}))  # self-loop only
+    got = connected_components(ds).to_pandas()
+    # (fully-empty Ray datasets drop column metadata in to_pandas —
+    # only emptiness is assertable)
+    assert len(got) == 0
+
+
+def test_doc_chain_components_vs_duckdb(con):
+    """The SQL-checked path-graph gate for the CC machinery."""
+    from transner_ray.ops import cc
+
+    _check(cc.doc_chain_components, cc.DOC_CHAIN_COMPONENTS_SQL, con)
+
+
+def test_neardup_clusters_matches_pairs():
+    """neardup_clusters must equal union-find over the verified
+    minhash pair list (same corpus, same threshold)."""
+    from transner_ray.ops import cc, dedup
+
+    pairs = dedup.minhash_dedup(SF).to_pandas()
+    got = cc.neardup_clusters(SF).to_pandas().reset_index(drop=True)
+    want = _unionfind_components(pairs["doc_a"], pairs["doc_b"])
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_born_carrier_buffer_word_is_load_bearing():
     """Pin the stale-score decode quirk the carrier designs around:
     with 'was' (score 0.60, crc32%23==0) directly after the person, the
