@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": traindata.decontaminate,
         "vocab_topk": traindata.vocab_topk,
         "stratified_sample": traindata.stratified_sample,
+        # flagship composite: train split → quality → dedup keeper →
+        # decontaminate → pack, in one streaming pass + one reduce
+        "prepare_training_data": traindata.prepare_training_data,
         # ---- custom time-series joins (SQL-checked) ----
         "asof_last_order": joins.last_order_before_event,
         "range_join_windows": joins.range_join_windows,
@@ -427,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": traindata.DECONTAMINATE_SQL,
         "vocab_topk": traindata.VOCAB_TOPK_SQL,
         "stratified_sample": traindata.stratified_sample_sql(),
+        "prepare_training_data": traindata.prepare_training_data_sql(),
         "asof_last_order": joins.ASOF_LAST_ORDER_SQL,
         "range_join_windows": joins.RANGE_JOIN_WINDOWS_SQL,
         "minhash_selfdup_pairs": dedup.SELFDUP_PAIRS_SQL,

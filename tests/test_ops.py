@@ -731,6 +731,36 @@ def test_pack_chunks_budget_param():
 # ----------------------------------------------------------- traindata
 
 
+def test_prepare_training_data_vs_duckdb(con):
+    """The flagship composite (train split → quality → dedup keeper →
+    decontaminate → pack) against its nested-CTE oracle."""
+    from transner_ray.ops import traindata
+
+    _check(traindata.prepare_training_data, traindata.prepare_training_data_sql(), con)
+
+
+def test_prepare_training_data_stages_filter():
+    """Each stage of the composite must actually drop rows on the
+    sf0.001 corpus (a stage that filters nothing is untested), and the
+    survivors must be consistent with the standalone gate ops."""
+    from transner_ray.ops import pack, traindata
+
+    got = traindata.prepare_training_data(SF).to_pandas()
+    all_docs = pack.pack_chunks(SF).to_pandas()
+    n_eval = (all_docs["doc_id"] % traindata.EVAL_MOD == 0).sum()
+    assert 0 < len(got) < len(all_docs) - n_eval  # quality/dedup/decon dropped some
+    assert (got["doc_id"] % traindata.EVAL_MOD != 0).all()  # eval slice held out
+    # contaminated keepers are excluded
+    decon = traindata.decontaminate(SF).to_pandas()
+    bad = set(decon.loc[decon["contaminated"], "doc_id"])
+    assert not (set(got["doc_id"]) & bad)
+    # packing invariant: chunk offsets advance by n_tokens mod budget
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    cum = got["n_tokens"].cumsum() - got["n_tokens"]
+    assert (got["chunk_id"] == cum // pack.CHUNK_TOKENS).all()
+    assert (got["chunk_offset"] == cum % pack.CHUNK_TOKENS).all()
+
+
 def test_decontaminate_vs_duckdb(con):
     from transner_ray.ops import traindata
 

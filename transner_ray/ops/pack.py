@@ -79,11 +79,19 @@ def pack_chunks(
         out["bucket"] = (out["doc_id"] // width).astype("int64")
         return out
 
-    toks = (
-        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(toks_batch, batch_format="pandas")
-        .materialize()
-    )
+    toks = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(toks_batch, batch_format="pandas")
+    return pack_token_stream(toks, chunk_tokens)
+
+
+def pack_token_stream(toks: rd.Dataset, chunk_tokens: int = CHUNK_TOKENS) -> rd.Dataset:
+    """The distributed prefix scan over an arbitrary (doc_id,
+    n_tokens, bucket) stream — shared by ``pack_chunks`` (whole
+    corpus) and ``traindata.prepare_training_data`` (curated
+    survivors). ``bucket`` must be a CONTIGUOUS-RANGE key
+    (``doc_id // width``) so bucket order equals id order."""
+    toks = toks.materialize()
 
     # ---- driver-side exclusive scan over per-bucket sums (O(buckets)) ----
     def bucket_partials(df: pd.DataFrame) -> pd.DataFrame:

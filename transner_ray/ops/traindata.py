@@ -63,6 +63,28 @@ def _wordgrams_batch(texts: list[str], n: int) -> list[np.ndarray]:
     return [_wordgram_hashes(H, n) for H in _batch_word_hashes(texts)]
 
 
+def _eval_gram_ref(docs: rd.Dataset, n: int, eval_mod: int):
+    """Broadcast handle for the eval slice's unique gram hashes: the
+    eval side is small by construction (take_all on the EVAL slice
+    only; the train side never materializes), built once and
+    ``ray.put`` once."""
+    import pyarrow as pa
+
+    def is_eval(t: pa.Table) -> pa.Table:
+        # this pyarrow has no modulo kernel; numpy over the zero-copy
+        # int64 column is equivalent and allocation-free for the mask
+        mask = (t["doc_id"].to_numpy(zero_copy_only=False) % eval_mod) == 0
+        return t.filter(pa.array(mask))
+
+    eval_rows = docs.map_batches(is_eval, batch_format="pyarrow").take_all()
+    eval_grams = (
+        np.unique(np.concatenate(_wordgrams_batch([r["text"] for r in eval_rows], n)))
+        if eval_rows
+        else np.zeros(0, dtype=np.uint64)
+    )
+    return ray.put(eval_grams)
+
+
 def decontaminate(sf_dir: str, n: int = DECON_NGRAM, eval_mod: int = EVAL_MOD) -> rd.Dataset:
     """(doc_id, contaminated) for every TRAIN document (doc_id %
     eval_mod != 0): contaminated iff the doc shares at least one
@@ -78,23 +100,7 @@ def decontaminate(sf_dir: str, n: int = DECON_NGRAM, eval_mod: int = EVAL_MOD) -
     import pyarrow as pa
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-
-    def is_eval(t: pa.Table) -> pa.Table:
-        # this pyarrow has no modulo kernel; numpy over the zero-copy
-        # int64 column is equivalent and allocation-free for the mask
-        mask = (t["doc_id"].to_numpy(zero_copy_only=False) % eval_mod) == 0
-        return t.filter(pa.array(mask))
-
-    # eval side: small by construction — collect its gram hashes once.
-    # (take_all on the EVAL slice only; the train side never
-    # materializes.)
-    eval_rows = docs.map_batches(is_eval, batch_format="pyarrow").take_all()
-    eval_grams = (
-        np.unique(np.concatenate(_wordgrams_batch([r["text"] for r in eval_rows], n)))
-        if eval_rows
-        else np.zeros(0, dtype=np.uint64)
-    )
-    grams_ref = ray.put(eval_grams)  # broadcast once, read per task
+    grams_ref = _eval_gram_ref(docs, n, eval_mod)
 
     def flag_batch(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df["doc_id"] % eval_mod) != 0]
@@ -248,5 +254,164 @@ SELECT doc_id, source
 FROM documents
 WHERE ((doc_id * {_KNUTH32}) % {_U32}) % 100
       < (CASE source {cases} ELSE {default_pct} END)
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------- flagship composite: crawl → chunks
+
+def prepare_training_data(
+    sf_dir: str,
+    n: int = DECON_NGRAM,
+    eval_mod: int = EVAL_MOD,
+    chunk_tokens: int | None = None,
+) -> rd.Dataset:
+    """The full curation chain as ONE pipeline — what a user actually
+    runs between crawl and tokenizer:
+
+        train split (eval slice held out) → quality filter
+        (curate_corpus semantics) → exact-dedup keeper → benchmark
+        decontamination → sequence packing
+
+    Returns (doc_id, n_tokens, chunk_id, chunk_offset) for every
+    surviving document. Entirely SQL-checkable: each stage reuses a
+    gate-checked op's exact semantics and constants.
+
+    Scale shape: all per-doc predicates (train membership, length,
+    repetition, contamination probe against the broadcast eval-gram
+    set) plus the md5 / token count are computed in ONE streaming pass
+    over the corpus — the text never leaves that pass. The only wide
+    steps are the short-row keeper reduce (bucketed hash-aggregate,
+    input-scaled fan-out) and ``pack.pack_token_stream``'s O(buckets)
+    driver scan. Stage commutation: exact duplicates share text
+    byte-for-byte, so the quality verdict AND the contamination flag
+    are constant within an md5 group — keeper-then-flag equals
+    flag-then-keeper, and the reduce carries the group's common values
+    (cf. curate_corpus's docstring for the same argument).
+    """
+    import hashlib
+    from collections import Counter
+
+    from .agg import bucketed_group_reduce, hash_str_col
+    from .pack import CHUNK_TOKENS, _range_width, pack_token_stream
+    from .textstats import CURATE_MAX_TOP_WORD_PCT, CURATE_MIN_CHARS, _WORD_RE
+
+    if chunk_tokens is None:
+        chunk_tokens = CHUNK_TOKENS
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_rows = _docs_rows(sf_dir)
+    width = _range_width(n_rows)
+    grams_ref = _eval_gram_ref(docs, n, eval_mod)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["doc_id"] % eval_mod) != 0]  # train split
+        ev = ray.get(grams_ref)
+        keep_idx: list[int] = []
+        texts = list(df["text"])
+        for i, t in enumerate(texts):
+            if len(t) < CURATE_MIN_CHARS:
+                continue
+            words = _WORD_RE.findall(t.lower())
+            if not words:
+                continue
+            c = Counter(words)
+            if max(c.values()) * 100 > CURATE_MAX_TOP_WORD_PCT * len(words):
+                continue
+            keep_idx.append(i)
+        kept_texts = [texts[i] for i in keep_idx]
+        grams = _wordgrams_batch(kept_texts, n)
+        g = pd.DataFrame(
+            {
+                "text_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in kept_texts
+                ],
+                "doc_id": df["doc_id"].iloc[keep_idx].astype("int64").to_numpy(),
+                "n_tokens": pd.Series(
+                    [len(t.split()) for t in kept_texts], dtype="int64"
+                ),
+                "contaminated": pd.Series(
+                    [bool(np.isin(h, ev, assume_unique=True).any()) for h in grams],
+                    dtype="bool",
+                ),
+            }
+        )
+        # combiner: one short row per distinct md5 per block (n_tokens
+        # and contaminated are text-derived, hence constant per group —
+        # min is the identity on them)
+        return g.groupby("text_md5", as_index=False).min()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("text_md5", as_index=False).min()
+        g = g[~g["contaminated"]]
+        out = g[["doc_id", "n_tokens"]].copy()
+        out["bucket"] = (out["doc_id"] // width).astype("int64")
+        return out
+
+    survivors = bucketed_group_reduce(
+        docs.map_batches(partial, batch_format="pandas"),
+        lambda df: hash_str_col(df["text_md5"]),
+        reduce,
+        input_rows=n_rows,
+    )
+    return pack_token_stream(survivors, chunk_tokens)
+
+
+def prepare_training_data_sql(
+    n: int = DECON_NGRAM, eval_mod: int = EVAL_MOD, chunk_tokens: int | None = None
+) -> str:
+    from .pack import CHUNK_TOKENS
+    from .textstats import CURATE_MAX_TOP_WORD_PCT, CURATE_MIN_CHARS
+
+    if chunk_tokens is None:
+        chunk_tokens = CHUNK_TOKENS
+    return f"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {eval_mod} != 0
+), wstats AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_count FROM (
+    SELECT doc_id, w, count(*) AS c FROM (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM train
+    ) GROUP BY doc_id, w
+  ) GROUP BY doc_id
+), quality AS (
+  SELECT t.doc_id, t.text
+  FROM train t JOIN wstats s USING (doc_id)
+  WHERE length(t.text) >= {CURATE_MIN_CHARS}
+    AND s.top_count * 100 <= {CURATE_MAX_TOP_WORD_PCT} * s.n_words
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY text
+), words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_aggregate(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + {n - 1}],
+                        'string_agg', ' ') AS g
+  FROM words, LATERAL unnest(generate_series(1, len(w) - {n - 1})) AS t(i)
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {eval_mod} = 0
+), clean AS (
+  SELECT k.doc_id
+  FROM keepers k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM grams t JOIN eval_grams e ON t.g = e.g
+    WHERE t.doc_id = k.doc_id
+  )
+), survivors AS (
+  SELECT c.doc_id,
+         length(regexp_extract_all(d.text, '\\S+')) AS n_tokens
+  FROM clean c JOIN documents d USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_before // {chunk_tokens} AS BIGINT) AS chunk_id,
+       CAST(cum_before % {chunk_tokens} AS BIGINT) AS chunk_offset
+FROM (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM survivors
+)
 ORDER BY doc_id
 """
