@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship composite: train split → quality → dedup keeper →
         # decontaminate → pack, in one streaming pass + one reduce
         "prepare_training_data": traindata.prepare_training_data,
+        "epoch_shuffle": traindata.epoch_shuffle,
         # ---- custom time-series joins (SQL-checked) ----
         "asof_last_order": joins.last_order_before_event,
         "range_join_windows": joins.range_join_windows,
@@ -339,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # provably equal to brute force → shares its SQL oracle); the
         # approximate default stays pytest-gated (test_ann_ivf_recall)
         "ann_ivf": lambda sf: similarity.ivf_topk(sf, nprobe=16),  # SQL-checked
+        # distributed Lloyd fit; rows-only (iterative float fit has no
+        # SQL), pinned by exact-equality sequential oracle in pytest
+        "kmeans_embeddings": similarity.kmeans_embeddings,
         # ---- multimodal plumbing (SQL-checked metadata) ----
         "media_metadata": multimodal.media_metadata,
         # ---- KG pipeline stages (pytest-oracle-gated; the documents-
@@ -431,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": traindata.VOCAB_TOPK_SQL,
         "stratified_sample": traindata.stratified_sample_sql(),
         "prepare_training_data": traindata.prepare_training_data_sql(),
+        "epoch_shuffle": traindata.epoch_shuffle_sql(),
         "asof_last_order": joins.ASOF_LAST_ORDER_SQL,
         "range_join_windows": joins.RANGE_JOIN_WINDOWS_SQL,
         "minhash_selfdup_pairs": dedup.SELFDUP_PAIRS_SQL,

@@ -149,6 +149,7 @@ def bench_queries() -> dict:
     out["ngram_jaccard_dedup"] = _timed(dedup.ngram_jaccard_dedup, SF_DIR)
     out["events_sliding"] = _timed(relational.events_sliding, SF_DIR)
     out["ann_brute_force"] = _timed(similarity.brute_force_topk, SF_DIR)
+    out["kmeans_embeddings"] = _timed(similarity.kmeans_embeddings, SF_DIR)
     out["pack_chunks"] = _timed(pack.pack_chunks, SF_DIR)
     out["decontaminate"] = _timed(traindata.decontaminate, SF_DIR)
     out["vocab_topk"] = _timed(traindata.vocab_topk, SF_DIR)

@@ -411,6 +411,40 @@ def test_ann_ivf_recall():
     assert len(exact & approx) / 10 >= 0.6  # documented recall tradeoff
 
 
+def test_kmeans_vs_sequential_oracle():
+    """Distributed Lloyd fit must equal the same-arithmetic sequential
+    oracle EXACTLY — the integer-quantized centroid sums make the fit
+    order-independent, so this is frame equality, not allclose."""
+    from transner_ray.ops import similarity
+
+    got = similarity.kmeans_embeddings(SF).to_pandas().reset_index(drop=True)
+    want = similarity.kmeans_oracle(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_kmeans_recovers_planted_clusters(tmp_path):
+    """On a corpus with genuinely separated clusters, the fit must
+    recover the planted partition exactly (up to label renaming)."""
+    from transner_ray.ops import similarity
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(3, 16) * 10.0  # far-apart anchors in 16-d
+    X = np.vstack([centers[i % 3] + rng.normal(0, 0.1, 16) for i in range(90)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(90), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in X],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = similarity.kmeans_embeddings(str(tmp_path), k=3, iters=5).to_pandas()
+    planted = got["vec_id"].to_numpy() % 3
+    # same partition: each fitted cluster maps to exactly one planted id
+    tab = pd.crosstab(got["cluster"], planted)
+    assert (tab.gt(0).sum(axis=1) == 1).all() and tab.shape[0] == 3
+
+
 def test_multimodal_roundtrip_and_resize():
     from transner_ray.ops import multimodal
 
@@ -759,6 +793,27 @@ def test_prepare_training_data_stages_filter():
     cum = got["n_tokens"].cumsum() - got["n_tokens"]
     assert (got["chunk_id"] == cum // pack.CHUNK_TOKENS).all()
     assert (got["chunk_offset"] == cum % pack.CHUNK_TOKENS).all()
+
+
+def test_epoch_shuffle_vs_duckdb(con):
+    from transner_ray.ops import traindata
+
+    _check(traindata.epoch_shuffle, traindata.epoch_shuffle_sql(), con)
+
+
+def test_epoch_shuffle_is_an_epoch_dependent_permutation():
+    from transner_ray.ops import traindata
+
+    e1 = traindata.epoch_shuffle(SF, epoch=1).to_pandas()
+    e2 = traindata.epoch_shuffle(SF, epoch=2).to_pandas()
+    n = len(e1)
+    # exact permutation: pos covers 0..n-1, every doc appears once
+    assert sorted(e1["pos"]) == list(range(n))
+    assert e1["doc_id"].nunique() == n
+    # epochs genuinely differ (decorrelated orderings)
+    o1 = e1.sort_values("pos")["doc_id"].to_numpy()
+    o2 = e2.sort_values("pos")["doc_id"].to_numpy()
+    assert (o1 != o2).mean() > 0.9
 
 
 def test_decontaminate_vs_duckdb(con):

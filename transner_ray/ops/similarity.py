@@ -156,3 +156,148 @@ def ivf_topk(
             "cosine": parts["cosine"].round(4),
         }
     )
+
+
+# ------------------------------------------------ distributed k-means
+
+KMEANS_K = 10  # the synthetic corpus carries 10 planted label clusters
+KMEANS_ITERS = 5
+_QSCALE = np.int64(1) << 20  # fixed-point lanes for order-free sums
+
+
+def _kmeans_assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row; ties resolve to the LOWEST centroid
+    index (np.argmin) — deterministic."""
+    # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
+    d = -2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)
+    return np.argmin(d, axis=1)
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> "rd.Dataset":
+    """(vec_id, cluster): Lloyd's k-means FIT distributed over the
+    embedding table — the clustering counterpart to ivf_topk's
+    driver-sample centroids (sampling is fine for IVF routing; corpus
+    bucketing/mixture analysis wants the fit over ALL vectors).
+
+    Scale + determinism design:
+
+    * every iteration is one streaming ``map_batches`` pass emitting
+      per-block PARTIALS: (cluster, count, Σvec) with the vector sum
+      QUANTIZED to int64 fixed-point (×2²⁰) and serialized to a binary
+      blob (lists don't survive Arrow blocks efficiently). Integer
+      addition is associative+commutative, so the driver totals and
+      every centroid are BIT-IDENTICAL regardless of block split, task
+      order or cluster size (the float path would drift with summation
+      order); assignments from identical centroids are deterministic
+      up to exact distance ties (measure-zero for real embeddings —
+      1-ulp BLAS rounding can differ across batch shapes).
+      Per-block partial magnitude ≤ 2³⁸ (256k rows × 2²⁰ × |x|≤1);
+      int64 driver totals overflow only beyond ~2⁴³ rows per cluster —
+      a 100 TB run splits the sum into hi/lo lanes, same dataflow.
+    * driver state is O(blocks × k × d) short rows per iteration,
+      reduced to k × d floats; centroids broadcast back via the task
+      closure (k·d·8 bytes — trivial).
+    * init = the k lowest-vec_id vectors (parquet predicate pushdown
+      reads only their row groups), the ivf_topk convention.
+    * an empty cluster keeps its previous centroid (Lloyd's standard
+      fallback, deterministic).
+
+    Gate: rows-only at the driver (no SQL for iterative float fits);
+    pytest pins exact equality against a sequential oracle running the
+    SAME quantized arithmetic, plus planted-label agreement."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    init = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    cents = np.array(
+        [np.asarray(v, dtype=np.float64) for v in init.column("embedding").to_pylist()]
+    )
+    if cents.shape[0] < k:
+        raise ValueError(f"need {k} init vectors, found {cents.shape[0]}")
+    d = cents.shape[1]
+
+    emb = _read_emb(sf_dir).materialize()
+
+    def make_partials(cents_now: np.ndarray):
+        def partials(t: pa.Table) -> pa.Table:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+            )
+            a = _kmeans_assign(X, cents_now)
+            Q = np.rint(X * _QSCALE).astype(np.int64)
+            clusters, counts, blobs = [], [], []
+            for c in np.unique(a):
+                m = a == c
+                clusters.append(int(c))
+                counts.append(int(m.sum()))
+                blobs.append(Q[m].sum(axis=0).tobytes())
+            return pa.table(
+                {
+                    "cluster": pa.array(clusters, pa.int32()),
+                    "n": pa.array(counts, pa.int64()),
+                    "qsum": pa.array(blobs, pa.binary()),
+                }
+            )
+
+        return partials
+
+    for _ in range(iters):
+        parts = emb.map_batches(
+            make_partials(cents), batch_format="pyarrow", batch_size=None
+        ).to_pandas()  # blocks × ≤k short rows
+        new = cents.copy()
+        for c, grp in parts.groupby("cluster"):
+            total = np.zeros(d, dtype=np.int64)
+            for blob in grp["qsum"]:
+                total += np.frombuffer(blob, dtype=np.int64)
+            n = int(grp["n"].sum())
+            if n:
+                new[int(c)] = total.astype(np.float64) / (float(_QSCALE) * n)
+        cents = new
+
+    final_cents = cents
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        X = np.array(
+            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+        )
+        a = _kmeans_assign(X, final_cents)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return emb.map_batches(assign_batch, batch_format="pyarrow").sort("vec_id")
+
+
+def kmeans_oracle(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Sequential same-arithmetic oracle (single numpy pass, quantized
+    sums) — exact-equality reference for the distributed fit."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id")
+    ids = t.column("vec_id").to_numpy()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    cents = X[:k].copy()
+    Q = np.rint(X * _QSCALE).astype(np.int64)
+    for _ in range(iters):
+        a = _kmeans_assign(X, cents)
+        new = cents.copy()
+        for c in range(k):
+            m = a == c
+            n = int(m.sum())
+            if n:
+                new[c] = Q[m].sum(axis=0).astype(np.float64) / (float(_QSCALE) * n)
+        cents = new
+    a = _kmeans_assign(X, cents)
+    return pd.DataFrame({"vec_id": ids, "cluster": a.astype("int64")})

@@ -415,3 +415,85 @@ FROM (
 )
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------- deterministic epoch shuffle
+
+EPOCH_STRIDE = 2654435769  # 0x9E3779B9 — decorrelates epochs
+
+
+def epoch_shuffle(sf_dir: str, epoch: int = 1) -> rd.Dataset:
+    """(pos, doc_id): the deterministic global permutation of the
+    corpus for one training epoch — reproducible across runs, resumes
+    and cluster sizes by construction (no RNG state), different per
+    epoch. Order key = ``((doc_id + epoch·STRIDE) · knuth32) mod 2³²``
+    with doc_id as the tie-break (the stratified_sample hash family —
+    exact in integer SQL; a >2³²-doc corpus would move to the 64-bit
+    splitmix key, losing only the SQL oracle).
+
+    Scale shape: rank WITHOUT a global sort. The key's TOP BITS form
+    contiguous range buckets (hash keys are uniform, so buckets are
+    balanced); per-block bucket counts flow to the driver (O(buckets)
+    integers — the pack prefix-scan pattern), an exclusive scan gives
+    each bucket's base rank, and one vectorized argsort per bucket
+    assigns ``pos = base + local_rank``. One shuffle total, driver
+    state O(buckets)."""
+    from .agg import scaled_num_buckets
+
+    n_rows = _docs_rows(sf_dir)
+    n_buckets = scaled_num_buckets(n_rows, floor=16)
+    bbits = max(1, (n_buckets - 1).bit_length())
+    shift = np.uint64(32 - bbits)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy().astype(np.uint64)
+        key = ((d + np.uint64(epoch) * np.uint64(EPOCH_STRIDE)) * np.uint64(_KNUTH32)) % np.uint64(_U32)
+        return pd.DataFrame(
+            {
+                "doc_id": d.astype("int64"),
+                "key": key.astype("int64"),
+                "bucket": (key >> shift).astype("int64"),
+            }
+        )
+
+    ks = (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(keyed, batch_format="pandas")
+        .materialize()
+    )
+
+    # per-block bucket counts → driver exclusive scan (O(2^bbits) ints)
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket").size()
+        return pd.DataFrame({"bucket": g.index.to_numpy(), "n": g.to_numpy()})
+
+    parts = ks.map_batches(counts, batch_format="pandas", batch_size=None).to_pandas()
+    sums = parts.groupby("bucket")["n"].sum().sort_index()
+    bases = sums.cumsum().shift(fill_value=0)
+    base_ref = ray.put((bases.index.to_numpy(np.int64), bases.to_numpy(np.int64)))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        buckets, offs = ray.get(base_ref)
+        base = int(offs[np.searchsorted(buckets, int(g["bucket"].iloc[0]))])
+        g = g.sort_values(["key", "doc_id"])  # doc_id breaks 32-bit key ties
+        return pd.DataFrame(
+            {
+                "pos": base + np.arange(len(g), dtype=np.int64),
+                "doc_id": g["doc_id"].to_numpy(),
+            }
+        )
+
+    return ks.groupby("bucket").map_groups(rank_bucket, batch_format="pandas").sort("pos")
+
+
+def epoch_shuffle_sql(epoch: int = 1) -> str:
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos, doc_id
+FROM (
+  SELECT doc_id,
+         ((CAST(doc_id AS HUGEINT) + {epoch} * {EPOCH_STRIDE}) * {_KNUTH32})
+           % {_U32} AS key
+  FROM documents
+)
+ORDER BY pos
+"""
