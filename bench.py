@@ -155,6 +155,7 @@ def bench_queries() -> dict:
     out["vocab_topk"] = _timed(traindata.vocab_topk, SF_DIR)
     out["stratified_sample"] = _timed(traindata.stratified_sample, SF_DIR)
     out["prepare_training_data"] = _timed(traindata.prepare_training_data, SF_DIR)
+    out["epoch_shuffle"] = _timed(traindata.epoch_shuffle, SF_DIR)
     out["asof_last_order"] = _timed(joins.last_order_before_event, SF_DIR)
     out["range_join_windows"] = _timed(joins.range_join_windows, SF_DIR)
     return out
