@@ -628,6 +628,58 @@ def test_doc_chain_components_vs_duckdb(con):
     _check(cc.doc_chain_components, cc.DOC_CHAIN_COMPONENTS_SQL, con)
 
 
+def test_doc_chain_components_partial_decade(tmp_path):
+    """Regression (review finding): a corpus whose size is NOT a
+    multiple of 10 must not emit a phantom (max_id, max_id+1) edge,
+    and a last doc that opens a decade alone is a singleton absent
+    from the output — both sides of the oracle agree for any N."""
+    import duckdb
+
+    from transner_ray.ops import cc
+
+    for n in (25, 31):  # partial decade; singleton last decade (30)
+        d = tmp_path / f"n{n}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                      "text": pa.array(["x"] * n)}),
+            str(d / "documents.parquet"),
+        )
+        got = cc.doc_chain_components(str(d)).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = _norm(con.sql(cc.DOC_CHAIN_COMPONENTS_SQL).df())
+        pd.testing.assert_frame_equal(_norm(got), want)
+        assert got["node"].max() == (n - 1 if (n - 1) % 10 != 0 else n - 2)
+
+
+def test_kmeans_init_with_shifted_vec_ids(tmp_path):
+    """Regression (review finding): init must be the k LOWEST vec_ids,
+    not `vec_id < k` — a 1-based or sparse id space must still fit."""
+    from transner_ray.ops import similarity
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(100, 190)  # no id < k exists
+    X = rng.normal(0, 1, (90, 8))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in X],
+                                      pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = similarity.kmeans_embeddings(str(tmp_path), k=4, iters=2).to_pandas()
+    want = similarity.kmeans_oracle(str(tmp_path), k=4, iters=2)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
 def test_neardup_clusters_matches_pairs():
     """neardup_clusters must equal union-find over the verified
     minhash pair list (same corpus, same threshold)."""

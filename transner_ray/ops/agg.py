@@ -66,6 +66,38 @@ def hash_int_col(col: pd.Series) -> np.ndarray:
     return _mix64(a.astype(np.uint64))
 
 
+def driver_exclusive_scan(
+    ds: rd.Dataset, bucket_col: str, value_col: str | None = None
+):
+    """The distributed-prefix-scan protocol shared by sequence packing
+    and epoch-shuffle ranking: per-BLOCK partial sums per bucket (one
+    short row per (block, bucket) — the driver never sees data rows),
+    a driver-side exclusive cumsum over sorted bucket ids, and one
+    ``ray.put`` of the (bucket_ids, base_offsets) lookup arrays.
+    ``value_col=None`` scans row COUNTS. Requires ``bucket_col`` to be
+    a contiguous-range key (bucket order == global order). Returns an
+    object ref; readers do ``buckets, offs = ray.get(ref)`` and
+    ``base = offs[np.searchsorted(buckets, b)]``."""
+    import ray
+
+    if value_col is None:
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(bucket_col).size()
+            return pd.DataFrame({bucket_col: g.index.to_numpy(), "_v": g.to_numpy()})
+
+    else:
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(bucket_col, as_index=False)[value_col].sum()
+            return g.rename(columns={value_col: "_v"})
+
+    parts = ds.map_batches(partials, batch_format="pandas", batch_size=None).to_pandas()
+    sums = parts.groupby(bucket_col)["_v"].sum().sort_index()
+    bases = sums.cumsum().shift(fill_value=0)
+    return ray.put((bases.index.to_numpy(np.int64), bases.to_numpy(np.int64)))
+
+
 def bucketed_group_reduce(
     ds: rd.Dataset,
     key_hash: Callable[[pd.DataFrame], np.ndarray],

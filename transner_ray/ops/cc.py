@@ -153,27 +153,37 @@ def _orient(batch: pa.Table) -> pa.Table:
     return _edges_table(np.maximum(a, b), np.minimum(a, b))
 
 
+_U64 = 1 << 64
+
+
 def _signature(edges: rd.Dataset) -> tuple[int, int]:
-    """(count, xor-of-edge-hashes) of a DISTINCT edge dataset:
-    order-insensitive, one tiny row per block to the driver."""
+    """(count, SUM of edge hashes mod 2⁶⁴) of an edge dataset:
+    order-insensitive AND multiplicity-sensitive, one tiny row per
+    block to the driver. Must be a modular SUM, never an XOR: star
+    outputs are MULTISETS (the same (v, m) edge can be re-emitted by
+    several groups), and XOR self-cancels even multiplicities — two
+    different multisets could collide with no hash collision at all.
+    With the sum, equal signatures mean equal multisets up to a
+    genuine ~2⁻⁶⁴ collision."""
 
     def partial(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
         h = _mix64(_mix64(a) ^ np.uint64(0x9E3779B97F4A7C15) ^ b)
-        x = int(np.bitwise_xor.reduce(h)) if len(h) else 0
+        # numpy uint64 addition wraps mod 2^64 — exactly the modular sum
+        s = int(np.add.reduce(h)) if len(h) else 0
         return pa.table(
-            {"n": pa.array([len(a)], pa.int64()), "x": pa.array([x], pa.uint64())}
+            {"n": pa.array([len(a)], pa.int64()), "s": pa.array([s], pa.uint64())}
         )
 
-    n, x = 0, 0
+    n, s = 0, 0
     for t in edges.map_batches(
         partial, batch_size=None, batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
         n += int(pa.compute.sum(t["n"]).as_py() or 0)
-        for v in t["x"].to_pylist():
-            x ^= v
-    return n, x
+        for v in t["s"].to_pylist():
+            s = (s + v) % _U64
+    return n, s
 
 
 def _driver_unionfind(a: np.ndarray, b: np.ndarray) -> pa.Table:
@@ -248,7 +258,7 @@ def connected_components(
         .map_batches(dedup_block, batch_format="pyarrow")
         .materialize()
     )
-    n_edges = _signature(edges)[0]
+    n_edges = edges.count()  # metadata on the materialized dataset — no scan
     if n_edges == 0:
         # no edges at all (e.g. a pair generator found nothing at this
         # scale): return an empty typed mapping rather than routing
@@ -272,8 +282,11 @@ def connected_components(
             num_buckets,
             _large_star_bucket,
         )
+        # large-star output is already (hi, lo)-oriented with no
+        # self-loops: every emitted edge is (v, m) with v > u ≥ m — no
+        # _orient pass needed between the stars
         edges = _bucketed(
-            large.map_batches(_orient, batch_format="pyarrow"),
+            large,
             "a",
             num_buckets,
             _small_star_bucket,
@@ -309,6 +322,19 @@ def connected_components(
     )
 
 
+def _parquet_col_max(path: str, col: str) -> int:
+    """Column max from parquet row-group FOOTER statistics — no data
+    read (the parquet_num_rows pattern)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index(col)
+    return max(
+        f.metadata.row_group(i).column(idx).statistics.max
+        for i in range(f.metadata.num_row_groups)
+    )
+
+
 # ------------------------------------------------------ query entries
 
 
@@ -336,10 +362,16 @@ def doc_chain_components(sf_dir: str) -> rd.Dataset:
     from .dedup import _docs_rows, _read_docs
 
     docs = _read_docs(sf_dir, ["doc_id"])
+    max_id = _parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id")
 
     def chain_edges(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = d % 10 != 9
+        # last doc of each decade opens no edge, and neither does the
+        # corpus's last doc (guards the phantom (max_id, max_id+1)
+        # edge when the corpus size is not a multiple of 10). The
+        # closed-form oracle additionally assumes contiguous doc_ids —
+        # true for the synthetic corpus and asserted by the gate.
+        keep = (d % 10 != 9) & (d < max_id)
         d = d[keep]
         return pa.table(
             {
@@ -359,5 +391,9 @@ DOC_CHAIN_COMPONENTS_SQL = """
     SELECT CAST(doc_id AS BIGINT) AS node,
            CAST(doc_id - (doc_id % 10) AS BIGINT) AS component
     FROM documents
+    -- connected_components reports nodes that appear in a pair; a
+    -- corpus whose LAST doc opens a fresh decade leaves that doc
+    -- edgeless (singleton decade) and absent from the engine output
+    WHERE NOT (doc_id % 10 = 0 AND doc_id = (SELECT max(doc_id) FROM documents))
     ORDER BY node
 """

@@ -91,20 +91,11 @@ def pack_token_stream(toks: rd.Dataset, chunk_tokens: int = CHUNK_TOKENS) -> rd.
     corpus) and ``traindata.prepare_training_data`` (curated
     survivors). ``bucket`` must be a CONTIGUOUS-RANGE key
     (``doc_id // width``) so bucket order equals id order."""
+    from .agg import driver_exclusive_scan
+
     toks = toks.materialize()
-
-    # ---- driver-side exclusive scan over per-bucket sums (O(buckets)) ----
-    def bucket_partials(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("bucket", as_index=False)["n_tokens"].sum()
-
-    parts = toks.map_batches(
-        bucket_partials, batch_format="pandas", batch_size=None
-    ).to_pandas()
-    sums = parts.groupby("bucket")["n_tokens"].sum().sort_index()
-    offsets = sums.cumsum().shift(fill_value=0)  # exclusive prefix sum
-    off_ref = ray.put(
-        (offsets.index.to_numpy(np.int64), offsets.to_numpy(np.int64))
-    )
+    # driver-side exclusive scan over per-bucket token sums (O(buckets))
+    off_ref = driver_exclusive_scan(toks, "bucket", "n_tokens")
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         buckets, offs = ray.get(off_ref)

@@ -165,6 +165,24 @@ KMEANS_ITERS = 5
 _QSCALE = np.int64(1) << 20  # fixed-point lanes for order-free sums
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list<float> column —
+    zero-copy flatten of the child values (``.flatten()`` honors
+    slices/offsets), never a per-row ``to_pylist`` materialization
+    (measured orders-of-magnitude cheaper; this runs once per batch
+    per Lloyd iteration over the whole table)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    n = len(col)
+    if n == 0:
+        return flat.reshape(0, 0)
+    assert flat.size % n == 0, "ragged embedding column"
+    return flat.reshape(n, -1)
+
+
 def _kmeans_assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """Nearest centroid per row; ties resolve to the LOWEST centroid
     index (np.argmin) — deterministic."""
@@ -210,25 +228,34 @@ def kmeans_embeddings(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # init = the k LOWEST-vec_id vectors. Fast path: 0-based contiguous
+    # ids mean `vec_id < k` (predicate pushdown) returns exactly k rows.
+    # Fallback for sparse/shifted ids: scan ONLY the slim vec_id column
+    # for the k-th smallest id, then a filtered read — the oracle's
+    # sort-then-head semantics either way.
     init = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", k)],
     ).sort_by("vec_id")
-    cents = np.array(
-        [np.asarray(v, dtype=np.float64) for v in init.column("embedding").to_pylist()]
-    )
-    if cents.shape[0] < k:
-        raise ValueError(f"need {k} init vectors, found {cents.shape[0]}")
+    if init.num_rows < k:
+        ids = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        ids = np.sort(ids.column("vec_id").to_numpy())
+        if ids.size < k:
+            raise ValueError(f"need {k} init vectors, corpus has {ids.size}")
+        init = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<=", int(ids[k - 1]))],
+        ).sort_by("vec_id")
+    cents = _emb_matrix(init.column("embedding"))[:k].copy()
     d = cents.shape[1]
 
     emb = _read_emb(sf_dir).materialize()
 
     def make_partials(cents_now: np.ndarray):
         def partials(t: pa.Table) -> pa.Table:
-            X = np.array(
-                [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
-            )
+            X = _emb_matrix(t.column("embedding"))
             a = _kmeans_assign(X, cents_now)
             Q = np.rint(X * _QSCALE).astype(np.int64)
             clusters, counts, blobs = [], [], []
@@ -264,9 +291,7 @@ def kmeans_embeddings(
     final_cents = cents
 
     def assign_batch(t: pa.Table) -> pa.Table:
-        X = np.array(
-            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
-        )
+        X = _emb_matrix(t.column("embedding"))
         a = _kmeans_assign(X, final_cents)
         return pa.table(
             {
@@ -287,7 +312,7 @@ def kmeans_oracle(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     t = t.sort_by("vec_id")
     ids = t.column("vec_id").to_numpy()
-    X = np.array([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    X = _emb_matrix(t.column("embedding"))
     cents = X[:k].copy()
     Q = np.rint(X * _QSCALE).astype(np.int64)
     for _ in range(iters):

@@ -456,21 +456,15 @@ def epoch_shuffle(sf_dir: str, epoch: int = 1) -> rd.Dataset:
             }
         )
 
+    from .agg import driver_exclusive_scan
+
     ks = (
         _read_docs(sf_dir, ["doc_id"])
         .map_batches(keyed, batch_format="pandas")
         .materialize()
     )
-
     # per-block bucket counts → driver exclusive scan (O(2^bbits) ints)
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("bucket").size()
-        return pd.DataFrame({"bucket": g.index.to_numpy(), "n": g.to_numpy()})
-
-    parts = ks.map_batches(counts, batch_format="pandas", batch_size=None).to_pandas()
-    sums = parts.groupby("bucket")["n"].sum().sort_index()
-    bases = sums.cumsum().shift(fill_value=0)
-    base_ref = ray.put((bases.index.to_numpy(np.int64), bases.to_numpy(np.int64)))
+    base_ref = driver_exclusive_scan(ks, "bucket")
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         buckets, offs = ray.get(base_ref)
