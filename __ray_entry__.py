@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
         traindata,
     )
+    from transner_ray.ops import pagerank as pagerank_mod
     from transner_ray.pipelines import kg
     from transner_ray.synth import pages_from_documents
 
@@ -321,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (sketch upstream) with a union-find pytest oracle
         "doc_chain_components": cc.doc_chain_components,
         "neardup_clusters": cc.neardup_clusters,
+        # graph analytics over the constructed KG (rows-only: iterative
+        # float fit; exact-equality + float-reference pytest oracles)
+        "entity_pagerank": pagerank_mod.entity_pagerank,
         # ---- sequence packing (distributed prefix scan; SQL-checked) ----
         "pack_chunks": pack.pack_chunks,
         # ---- training-data curation (all SQL-checked) ----

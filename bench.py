@@ -134,6 +134,7 @@ def bench_queries() -> dict:
         textstats,
         traindata,
     )
+    from transner_ray.ops import pagerank as pagerank_mod
 
     out = {}
     out["lineitem_pricing"] = _timed(relational.lineitem_pricing, SF_DIR)
@@ -150,6 +151,7 @@ def bench_queries() -> dict:
     out["events_sliding"] = _timed(relational.events_sliding, SF_DIR)
     out["ann_brute_force"] = _timed(similarity.brute_force_topk, SF_DIR)
     out["kmeans_embeddings"] = _timed(similarity.kmeans_embeddings, SF_DIR)
+    out["entity_pagerank"] = _timed(pagerank_mod.entity_pagerank, SF_DIR)
     out["pack_chunks"] = _timed(pack.pack_chunks, SF_DIR)
     out["decontaminate"] = _timed(traindata.decontaminate, SF_DIR)
     out["vocab_topk"] = _timed(traindata.vocab_topk, SF_DIR)

@@ -411,6 +411,74 @@ def test_ann_ivf_recall():
     assert len(exact & approx) / 10 >= 0.6  # documented recall tradeoff
 
 
+def test_pagerank_distributed_equals_driver_and_float_reference():
+    """The distributed quantized PageRank must equal the driver fast
+    path EXACTLY (same integer arithmetic, order-free sums) and match
+    a plain float power iteration to quantization precision; bucket-
+    count invariant."""
+    import ray.data as rd
+
+    from transner_ray.ops import pagerank as pr
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 120, 300)
+    dst = rng.integers(0, 120, 300)
+    w = rng.integers(1, 5, 300)
+    ds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst, "weight": w}))
+
+    def run(**kw):
+        return (
+            pr.pagerank(ds, weight_col="weight", iters=3, **kw)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    fast = run()
+    dist = run(force_distributed=True)
+    pd.testing.assert_frame_equal(fast, dist)
+    pd.testing.assert_frame_equal(
+        run(force_distributed=True, num_buckets=3), dist
+    )
+    assert abs(fast["rank"].sum() - 1.0) < 1e-9
+
+    # independent float reference (no quantization)
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    cs, cd = codes[: len(src)], codes[len(src) :]
+    n = len(nodes)
+    out_w = np.zeros(n)
+    np.add.at(out_w, cs, w.astype(float))
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.zeros(n)
+        np.add.at(nxt, cd, 0.85 * r[cs] * (w / out_w[cs]))
+        dangling = 0.85 * r[out_w == 0].sum()
+        r = nxt + (1 - 0.85) / n + dangling / n
+    assert np.abs(fast["rank"].to_numpy() - r).max() < 1e-6
+
+
+def test_pagerank_dangling_mass_redistributed():
+    """A sink node's mass must be redistributed, not lost: ranks still
+    sum to 1 and the sink outranks its feeders."""
+    import ray.data as rd
+
+    from transner_ray.ops import pagerank as pr
+
+    # 0 -> 2, 1 -> 2; 2 is a sink
+    ds = rd.from_pandas(pd.DataFrame({"src": [0, 1], "dst": [2, 2]}))
+    got = pr.pagerank(ds).to_pandas().sort_values("node").reset_index(drop=True)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    assert got.loc[got["node"] == 2, "rank"].iloc[0] > got["rank"].min()
+
+
+def test_entity_pagerank_over_kg_edges():
+    from transner_ray.ops import pagerank as pr
+
+    got = pr.entity_pagerank(SF).to_pandas()
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
+    assert got["entity_id"].is_unique and len(got) > 100
+
+
 def test_kmeans_vs_sequential_oracle():
     """Distributed Lloyd fit must equal the same-arithmetic sequential
     oracle EXACTLY — the integer-quantized centroid sums make the fit

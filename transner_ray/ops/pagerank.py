@@ -1,0 +1,365 @@
+"""Distributed PageRank over the constructed knowledge graph.
+
+The engine's KG output is an edge list (subj_id, pred, obj_id,
+weight); the first analysis every KG consumer runs on it is a
+centrality ranking. This operator is the beyond-reference graph-
+analytics layer: weighted PageRank with damping and dangling-mass
+redistribution, expressed in the repo's partitioned hash-aggregate
+idiom.
+
+Per iteration, TWO bucketed shuffles (the same budget as one CC
+round):
+
+1. **contribution pass** — adjacency rows and current rank rows are
+   co-partitioned by ``hash(src)`` (the `_attach_feats` union-tag
+   pattern: one groupby sees both sides, no Dataset.join operator
+   cost). One vectorized pandas call per bucket merges ranks onto
+   edges, normalizes by the src's out-weight (all of a src's edges
+   live in its bucket by construction), and emits per-(bucket, dst)
+   partial contribution sums plus one dangling-mass row per bucket.
+2. **apply pass** — contributions and the static node list are
+   co-partitioned by ``hash(dst)``; one pandas call per bucket sums
+   contributions and adds the teleport + dangling base terms
+   (missing nodes get base rank — a node with no in-edges must still
+   be ranked).
+
+Exact determinism (the kmeans_embeddings recipe): every per-edge
+contribution is computed in float64 (deterministic scalar math), then
+QUANTIZED to int64 fixed-point (×2⁴⁰) before any summation — integer
+addition is order-free, so ranks are bit-identical at any block
+split, task order or cluster size, and the pytest oracle is EXACT
+frame equality against a sequential implementation of the same
+arithmetic, not an allclose. Mass is normalized to 1, so int64 sums
+cannot overflow (Σ contributions ≤ 2⁴⁰ + rounding).
+
+Size switch (the repo-wide sub-exact-max pattern, cf.
+cc.CC_EXACT_MAX): an edge list at or under ``PR_EXACT_MAX`` runs the
+same quantized arithmetic in one driver numpy pass; tests force the
+distributed rounds and pin fast-path == distributed == oracle.
+
+Iterative Ray Data caveat: ranks are ``materialize()``d per round —
+a lazy Dataset would re-execute the whole lineage every iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from .agg import scaled_num_buckets
+from .dedup import _mix64
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+PR_FLOOR_BUCKETS = 16
+PR_EXACT_MAX = 1 << 20
+_QS = float(1 << 40)  # fixed-point scale for order-free sums
+
+# union-tag schema shared by both passes: kind 0=edge, 1=rank/contrib,
+# 2=node
+_ROWS = pa.schema(
+    [
+        ("kind", pa.int8()),
+        ("a", pa.int64()),  # group key: src (pass 1) / dst or node (pass 2)
+        ("b", pa.int64()),  # dst (edge rows only)
+        ("w", pa.int64()),  # edge weight (edge rows only)
+        ("q", pa.int64()),  # quantized rank/contribution
+    ]
+)
+
+
+def _rows_table(kind, a, b, w, q) -> pa.Table:
+    n = len(a)
+    return pa.table(
+        {
+            "kind": pa.array(np.full(n, kind, dtype=np.int8)),
+            "a": pa.array(np.asarray(a, dtype=np.int64)),
+            "b": pa.array(np.asarray(b, dtype=np.int64)),
+            "w": pa.array(np.asarray(w, dtype=np.int64)),
+            "q": pa.array(np.asarray(q, dtype=np.int64)),
+        },
+        schema=_ROWS,
+    )
+
+
+def _bucket_groupby(ds: rd.Dataset, num_buckets: int, reduce_fn) -> rd.Dataset:
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = (
+            _mix64(df["a"].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)
+        ).astype("int32")
+        return df
+
+    def reduce(g: pd.DataFrame):
+        return reduce_fn(g.drop(columns=["_b"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(reduce, batch_format="pandas")
+    )
+
+
+def _contrib_bucket(damping: float):
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        edges = g[g["kind"] == 0]
+        ranks = g[g["kind"] == 1][["a", "q"]]
+        out_tabs = []
+        if len(edges):
+            m = edges.merge(ranks, on="a", suffixes=("", "_r"))
+            out_w = m.groupby("a")["w"].transform("sum").to_numpy()
+            rank = m["q_r"].to_numpy() / _QS
+            contrib = damping * rank * (m["w"].to_numpy() / out_w)
+            cq = np.rint(contrib * _QS).astype(np.int64)
+            part = (
+                pd.DataFrame({"a": m["b"].to_numpy(), "cq": cq})
+                .groupby("a", as_index=False)["cq"]
+                .sum()
+            )
+            out_tabs.append(
+                _rows_table(1, part["a"], np.zeros(len(part)), np.zeros(len(part)), part["cq"])
+            )
+        # dangling: ranked nodes with no out-edges in this bucket's view
+        # (all of a node's out-edges share its bucket, so "none here"
+        # means none anywhere)
+        dang = ranks[~ranks["a"].isin(edges["a"])] if len(ranks) else ranks
+        if len(dang):
+            dq = np.rint(damping * (dang["q"].to_numpy() / _QS) * _QS).astype(np.int64)
+            out_tabs.append(_rows_table(3, [-1], [0], [0], [int(dq.sum())]))
+        if not out_tabs:
+            return _rows_table(1, [], [], [], [])
+        return pa.concat_tables(out_tabs)
+
+    return reduce
+
+
+def _apply_bucket(base_q_term: float):
+    """base_q_term = ((1-d)/n + d·dangling/n) × QS, a driver scalar."""
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        nodes = g[g["kind"] == 2]["a"]
+        contribs = g[g["kind"] == 1].groupby("a")["q"].sum()
+        q = (
+            np.rint(base_q_term)
+            + contribs.reindex(nodes.to_numpy(), fill_value=0).to_numpy()
+        ).astype(np.int64)
+        return _rows_table(1, nodes.to_numpy(), np.zeros(len(nodes)), np.zeros(len(nodes)), q)
+
+    return reduce
+
+
+def _dangling_total(contribs: rd.Dataset) -> int:
+    """Σ of the kind-3 rows: one short row per block to the driver."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(q[kind == 3].sum())], pa.int64())})
+
+    s = 0
+    for t in contribs.map_batches(
+        partial, batch_size=None, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        s += sum(t["s"].to_pylist())
+    return s
+
+
+def pagerank(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    n_edges: int | None = None,
+    num_buckets: int | None = None,
+    force_distributed: bool = False,
+) -> rd.Dataset:
+    """(node, rank) over the directed weighted edge list; ranks sum to
+    1.0 (teleport + dangling redistribution). See module docstring."""
+    if num_buckets is None:
+        num_buckets = scaled_num_buckets(n_edges, floor=PR_FLOOR_BUCKETS)
+
+    def project(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        w = (
+            t.column(weight_col).to_numpy(zero_copy_only=False)
+            if weight_col
+            else np.ones(n, dtype=np.int64)
+        )
+        return _rows_table(
+            0,
+            t.column(src_col).to_numpy(zero_copy_only=False),
+            t.column(dst_col).to_numpy(zero_copy_only=False),
+            w,
+            np.zeros(n),
+        )
+
+    adj = edges.map_batches(project, batch_format="pyarrow").materialize()
+    n_edge_rows = adj.count()
+    if n_edge_rows == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        )
+
+    if not force_distributed and n_edge_rows <= PR_EXACT_MAX:
+        df = adj.to_pandas()  # bounded by the switch
+        return rd.from_arrow(
+            _driver_pagerank(
+                df["a"].to_numpy(), df["b"].to_numpy(), df["w"].to_numpy(), damping, iters
+            )
+        )
+
+    # node list (distinct src ∪ dst) — one bucketed distinct, built once
+    def node_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        u = np.unique(np.concatenate([a, b]))
+        z = np.zeros(len(u))
+        return _rows_table(2, u, z, z, z)
+
+    def distinct_nodes(g: pd.DataFrame) -> pa.Table:
+        u = np.unique(g["a"].to_numpy())
+        z = np.zeros(len(u))
+        return _rows_table(2, u, z, z, z)
+
+    nodes = _bucket_groupby(
+        adj.map_batches(node_rows, batch_format="pyarrow"), num_buckets, distinct_nodes
+    ).materialize()
+    n = nodes.count()
+
+    # init: uniform 1/n, quantized
+    q0 = int(round(_QS / n))
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(a))
+        return _rows_table(1, a, z, z, np.full(len(a), q0, dtype=np.int64))
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        contribs = _bucket_groupby(
+            adj.union(ranks), num_buckets, _contrib_bucket(damping)
+        ).materialize()
+        dangling_q = _dangling_total(contribs)
+        base_q = (1.0 - damping) * _QS / n + dangling_q / n
+
+        def drop_dangling(t: pa.Table) -> pa.Table:
+            kind = t.column("kind").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(kind != 3))
+
+        ranks = _bucket_groupby(
+            contribs.map_batches(drop_dangling, batch_format="pyarrow").union(nodes),
+            num_buckets,
+            _apply_bucket(base_q),
+        ).materialize()
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("a"),
+                "rank": pa.array(
+                    t.column("q").to_numpy(zero_copy_only=False) / _QS, pa.float64()
+                ),
+            }
+        )
+
+    return ranks.map_batches(emit, batch_format="pyarrow")
+
+
+def _driver_pagerank(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, damping: float, iters: int
+) -> pa.Table:
+    """Sub-PR_EXACT_MAX fast path AND the sequential oracle: the same
+    quantized arithmetic in one numpy pass (np.add.at sums ints in
+    index order — order-free like the distributed integer sums)."""
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    cs, cd = codes[: len(src)], codes[len(src) :]
+    n = len(nodes)
+    out_w = np.zeros(n, dtype=np.int64)
+    np.add.at(out_w, cs, w.astype(np.int64))
+    has_out = out_w > 0
+    q = np.full(n, int(round(_QS / n)), dtype=np.int64)
+    for _ in range(iters):
+        rank = q / _QS
+        contrib = damping * rank[cs] * (w / out_w[cs])
+        cq = np.rint(contrib * _QS).astype(np.int64)
+        in_q = np.zeros(n, dtype=np.int64)
+        np.add.at(in_q, cd, cq)
+        dangling_q = int(np.rint(damping * (q[~has_out] / _QS) * _QS).astype(np.int64).sum())
+        base_q = (1.0 - damping) * _QS / n + dangling_q / n
+        q = (np.rint(base_q) + in_q).astype(np.int64)
+    return pa.table(
+        {
+            "node": pa.array(nodes.astype(np.int64)),
+            "rank": pa.array(q / _QS, pa.float64()),
+        }
+    )
+
+
+# ------------------------------------------------------ query entry
+
+
+def entity_pagerank(sf_dir: str) -> rd.Dataset:
+    """Centrality of KG entities: PageRank over the synthetic spine's
+    edge list (subj_id → obj_id, weighted). Entity ids are hashed to
+    int64 node ids for the rank loop and joined back for output.
+    Rows-only at the driver gate (iterative float fit has no SQL);
+    pinned by the exact-equality oracle and invariance tests in
+    pytest."""
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    edges = entry.queries()["kg_edges"](sf_dir)
+
+    # entity_id (string) → stable int64 node id; keep the mapping as a
+    # broadcast-scale side table for the final join-back
+    def to_int_edges(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(t.column("subj_id").to_pylist())
+        o = pd.Series(t.column("obj_id").to_pylist())
+        hs = pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.int64)
+        ho = pd.util.hash_pandas_object(o, index=False).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.abs(hs)),
+                "dst": pa.array(np.abs(ho)),
+                "weight": t.column("weight"),
+                "subj_id": t.column("subj_id"),
+                "obj_id": t.column("obj_id"),
+            }
+        )
+
+    int_edges = edges.map_batches(to_int_edges, batch_format="pyarrow").materialize()
+    ranks = pagerank(int_edges, weight_col="weight")
+
+    # join back: the (hash, entity_id) pairs are one short row per edge
+    # endpoint — collect the distinct mapping (bounded by entity count;
+    # at larger scale this becomes a bucketed reduce-side join like
+    # dedup._attach_feats)
+    mapping: dict[int, str] = {}
+    for t in int_edges.iter_batches(batch_format="pyarrow"):
+        for h, e in zip(t["src"].to_pylist(), t["subj_id"].to_pylist()):
+            mapping[h] = e
+        for h, e in zip(t["dst"].to_pylist(), t["obj_id"].to_pylist()):
+            mapping[h] = e
+
+    import ray
+
+    map_ref = ray.put(mapping)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        ids = [m[h] for h in t.column("node").to_pylist()]
+        return pa.table(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "rank": t.column("rank"),
+            }
+        )
+
+    return ranks.map_batches(attach, batch_format="pyarrow").sort("entity_id")
