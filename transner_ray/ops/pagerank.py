@@ -337,29 +337,69 @@ def entity_pagerank(sf_dir: str) -> rd.Dataset:
     int_edges = edges.map_batches(to_int_edges, batch_format="pyarrow").materialize()
     ranks = pagerank(int_edges, weight_col="weight")
 
-    # join back: the (hash, entity_id) pairs are one short row per edge
-    # endpoint — collect the distinct mapping (bounded by entity count;
-    # at larger scale this becomes a bucketed reduce-side join like
-    # dedup._attach_feats)
-    mapping: dict[int, str] = {}
-    for t in int_edges.iter_batches(batch_format="pyarrow"):
-        for h, e in zip(t["src"].to_pylist(), t["subj_id"].to_pylist()):
-            mapping[h] = e
-        for h, e in zip(t["dst"].to_pylist(), t["obj_id"].to_pylist()):
-            mapping[h] = e
+    # join back node-hash → entity_id WITHOUT collecting the mapping:
+    # the reduce-side union-tag join (dedup._attach_feats pattern) —
+    # mapping rows and rank rows co-partition by hash(node), one
+    # vectorized merge per bucket. Scales with the entity count.
+    def mapping_rows(t: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    import ray
-
-    map_ref = ray.put(mapping)
-
-    def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        ids = [m[h] for h in t.column("node").to_pylist()]
+        df = pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [
+                        t.column("src").to_numpy(zero_copy_only=False),
+                        t.column("dst").to_numpy(zero_copy_only=False),
+                    ]
+                ),
+                "entity_id": t.column("subj_id").to_pylist()
+                + t.column("obj_id").to_pylist(),
+            }
+        ).drop_duplicates("node")
         return pa.table(
             {
-                "entity_id": pa.array(ids, pa.string()),
+                "node": pa.array(df["node"].to_numpy(), pa.int64()),
+                "entity_id": pa.array(df["entity_id"], pa.string()),
+                "rank": pa.array(np.full(len(df), np.nan), pa.float64()),
+            }
+        )
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "entity_id": pa.array([None] * n, pa.string()),
                 "rank": t.column("rank"),
             }
         )
 
-    return ranks.map_batches(attach, batch_format="pyarrow").sort("entity_id")
+    tagged = int_edges.map_batches(mapping_rows, batch_format="pyarrow").union(
+        ranks.map_batches(rank_rows, batch_format="pyarrow")
+    )
+
+    def add_bucket(df):
+        import pandas as pd
+
+        df["_b"] = (
+            _mix64(df["node"].to_numpy().astype(np.uint64)) % np.uint64(64)
+        ).astype("int32")
+        return df
+
+    def join_bucket(g) -> pa.Table:
+        m = g[g["entity_id"].notna()][["node", "entity_id"]].drop_duplicates("node")
+        r = g[g["entity_id"].isna()][["node", "rank"]]
+        out = r.merge(m, on="node")
+        return pa.table(
+            {
+                "entity_id": pa.array(out["entity_id"], pa.string()),
+                "rank": pa.array(out["rank"].to_numpy(), pa.float64()),
+            }
+        )
+
+    return (
+        tagged.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(lambda g: join_bucket(g.drop(columns=["_b"])), batch_format="pandas")
+        .sort("entity_id")
+    )
