@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pack,
         relational,
         similarity,
+        sketches,
         textstats,
         traindata,
     )
@@ -335,6 +336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontaminate → pack, in one streaming pass + one reduce
         "prepare_training_data": traindata.prepare_training_data,
         "epoch_shuffle": traindata.epoch_shuffle,
+        # HLL vocabulary-size sketch; rows-only (no SQL computes an
+        # HLL), pinned by exact-merge + accuracy-bound pytest oracles
+        "approx_distinct_tokens": sketches.approx_distinct_tokens,
         # ---- custom time-series joins (SQL-checked) ----
         "asof_last_order": joins.last_order_before_event,
         "range_join_windows": joins.range_join_windows,

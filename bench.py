@@ -131,6 +131,7 @@ def bench_queries() -> dict:
         pack,
         relational,
         similarity,
+        sketches,
         textstats,
         traindata,
     )
@@ -158,6 +159,7 @@ def bench_queries() -> dict:
     out["stratified_sample"] = _timed(traindata.stratified_sample, SF_DIR)
     out["prepare_training_data"] = _timed(traindata.prepare_training_data, SF_DIR)
     out["epoch_shuffle"] = _timed(traindata.epoch_shuffle, SF_DIR)
+    out["approx_distinct_tokens"] = _timed(sketches.approx_distinct_tokens, SF_DIR)
     out["asof_last_order"] = _timed(joins.last_order_before_event, SF_DIR)
     out["range_join_windows"] = _timed(joins.range_join_windows, SF_DIR)
     return out

@@ -411,6 +411,24 @@ def test_ann_ivf_recall():
     assert len(exact & approx) / 10 >= 0.6  # documented recall tradeoff
 
 
+def test_hll_distributed_equals_oracle_and_exact_bound(con):
+    """HLL merge must equal the sequential oracle EXACTLY (register
+    max is order-free) and land within the published error bound of
+    the exact distinct count."""
+    from transner_ray.ops import sketches
+
+    got = sketches.approx_distinct_tokens(SF)
+    want = sketches.hll_oracle(SF)
+    pd.testing.assert_frame_equal(got, want)
+    exact = con.sql(
+        "SELECT count(DISTINCT w) FROM (SELECT unnest(string_split_regex("
+        "trim(lower(text)), '\\s+')) AS w FROM documents)"
+    ).fetchone()[0]
+    est = int(got["approx_distinct"].iloc[0])
+    # 3σ bound at p=12: 3 × 1.04/√4096 ≈ 4.9 %
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
 def test_pagerank_distributed_equals_driver_and_float_reference():
     """The distributed quantized PageRank must equal the driver fast
     path EXACTLY (same integer arithmetic, order-free sums) and match
