@@ -258,6 +258,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         ).sort(["subj_id", "obj_id"])
 
+    def kg_born_entities(sf_dir: str):
+        """The canonicalization reduce (kg.entities_dataset: combiner
+        partials → partitioned hash-aggregate → canonical surface /
+        type / aliases / support) made SQL-checkable over the born
+        carrier: every surface is alias-free and single-variant, so
+        canonical = the word, aliases = [word], and support = the
+        entity's endpoint count, all derivable from doc_id."""
+        import pyarrow as pa
+
+        from transner_ray.pipelines import kg
+        from transner_ray.stages.graph import link_triples_batch
+
+        linked = _born_spine(sf_dir).map_batches(
+            link_triples_batch, batch_format="pyarrow"
+        )
+        ents = kg.entities_dataset(linked, settle=True)
+        return ents.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity_id": t["entity_id"],
+                    "canonical": t["canonical"],
+                    "type": t["type"],
+                    "aliases": t["aliases"],
+                    "support": t["support"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).sort("entity_id")
+
     def kg_split_docs(sf_dir: str):
         """Sentence splitter over documents-derived pages — the split
         itself is SQL-checkable (same regex semantics in DuckDB)."""
@@ -362,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_regex_mentions": kg_regex_mentions,
         "kg_born_triples": kg_born_triples,
         "kg_born_edges": kg_born_edges,
+        "kg_born_entities": kg_born_entities,
         "kg_sentences": _kg_sentences_only,
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
@@ -496,6 +526,18 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY 1, 2, 3
             ORDER BY subj_id, obj_id
+        """,
+        "kg_born_entities": f"""
+            WITH m AS (
+              SELECT {_born_person_sql()} AS p, {_born_city_sql()} AS c FROM documents
+            )
+            SELECT 'per:' || p AS entity_id, p AS canonical, 'PERSON' AS type,
+                   [p] AS aliases, count(*) AS support
+            FROM m GROUP BY p
+            UNION ALL
+            SELECT 'loc:' || c, c, 'LOCATION', [c], count(*)
+            FROM m GROUP BY c
+            ORDER BY entity_id
         """,
         "media_metadata": multimodal.MEDIA_METADATA_SQL,
         "kg_extract_text": """

@@ -29,6 +29,8 @@ def con():
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].map(lambda v: tuple(v))  # list cols sort as tuples
         if pd.api.types.is_integer_dtype(df[c].dtype):
             df[c] = df[c].astype("int64")
         if pd.api.types.is_float_dtype(df[c].dtype):
@@ -622,6 +624,7 @@ def test_kg_born_chain_vs_duckdb(con):
     q, o = e.queries(), e.oracle_sql()
     _check(q["kg_born_triples"], o["kg_born_triples"], con)
     _check(q["kg_born_edges"], o["kg_born_edges"], con)
+    _check(q["kg_born_entities"], o["kg_born_entities"], con)
 
 
 def _unionfind_components(a, b) -> pd.DataFrame:
