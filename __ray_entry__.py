@@ -80,9 +80,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from transner_ray.ops import (
         cc,
         dedup,
+        indexing,
         joins,
         multimodal,
         pack,
+        quantiles,
         relational,
         similarity,
         sketches,
@@ -368,6 +370,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL vocabulary-size sketch; rows-only (no SQL computes an
         # HLL), pinned by exact-merge + accuracy-bound pytest oracles
         "approx_distinct_tokens": sketches.approx_distinct_tokens,
+        # exact distinct-terms sibling of the HLL sketch (SQL-checked)
+        "distinct_terms": indexing.distinct_terms,
+        # ---- IR indexing (all SQL-checked) ----
+        "inverted_index": indexing.inverted_index,
+        "tfidf_top_terms": indexing.tfidf_top_terms,
+        # ---- exact distributed quantiles (SQL-checked) ----
+        "token_count_quantiles": quantiles.token_count_quantiles,
+        "event_value_quantiles": quantiles.event_value_quantiles,
         # ---- custom time-series joins (SQL-checked) ----
         "asof_last_order": joins.last_order_before_event,
         "range_join_windows": joins.range_join_windows,
@@ -424,9 +434,11 @@ def oracle_sql() -> dict[str, str]:
     from transner_ray.ops import (
         cc,
         dedup,
+        indexing,
         joins,
         multimodal,
         pack,
+        quantiles,
         relational,
         similarity,
         textstats,
@@ -476,6 +488,11 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": traindata.epoch_shuffle_sql(),
         "asof_last_order": joins.ASOF_LAST_ORDER_SQL,
         "range_join_windows": joins.RANGE_JOIN_WINDOWS_SQL,
+        "distinct_terms": indexing.DISTINCT_TERMS_SQL,
+        "inverted_index": indexing.INVERTED_INDEX_SQL,
+        "tfidf_top_terms": indexing.TFIDF_SQL,
+        "token_count_quantiles": quantiles.TOKEN_COUNT_QUANTILES_SQL,
+        "event_value_quantiles": quantiles.EVENT_VALUE_QUANTILES_SQL,
         "minhash_selfdup_pairs": dedup.SELFDUP_PAIRS_SQL,
         "ngram_selfdup_pairs": dedup.NGRAM_SELFDUP_PAIRS_SQL,
         "simhash_selfdup_pairs": dedup.SIMHASH_SELFDUP_PAIRS_SQL,

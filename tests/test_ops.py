@@ -1095,3 +1095,64 @@ def test_asof_join_tie_and_miss_semantics(tmp_path):
     assert out["event_id"].astype("int64").tolist() == [100]
     assert out["o_orderkey"].astype("int64").tolist() == [9]
     assert out["o_totalprice"].tolist() == [20.0]
+
+
+# ------------------------------------------------- indexing + quantiles
+
+
+def test_inverted_index_vs_duckdb(con):
+    from transner_ray.ops import indexing
+
+    _check(indexing.inverted_index, indexing.INVERTED_INDEX_SQL, con)
+
+
+def test_tfidf_top_terms_vs_duckdb(con):
+    from transner_ray.ops import indexing
+
+    _check(indexing.tfidf_top_terms, indexing.TFIDF_SQL, con)
+
+
+def test_distinct_terms_vs_duckdb(con):
+    from transner_ray.ops import indexing
+
+    _check(indexing.distinct_terms, indexing.DISTINCT_TERMS_SQL, con)
+
+
+def test_inverted_index_stopword_pruning():
+    """max_df_frac keeps the df row but empties the posting list —
+    the bound that stops a web-scale stopword concentrating O(corpus)
+    doc_ids in one reduce task."""
+    from transner_ray.ops import indexing
+
+    full = indexing.inverted_index(SF).to_pandas()
+    pruned = indexing.inverted_index(SF, max_df_frac=0.0).to_pandas()
+    assert len(full) == len(pruned)
+    a = full.sort_values("term").reset_index(drop=True)
+    b = pruned.sort_values("term").reset_index(drop=True)
+    pd.testing.assert_series_equal(a["df"], b["df"])
+    assert all(len(p) == 0 for p in b["postings"])
+    assert any(len(p) > 0 for p in a["postings"])
+
+
+def test_token_count_quantiles_vs_duckdb(con):
+    from transner_ray.ops import quantiles
+
+    _check(quantiles.token_count_quantiles, quantiles.TOKEN_COUNT_QUANTILES_SQL, con)
+
+
+def test_event_value_quantiles_vs_duckdb(con):
+    from transner_ray.ops import quantiles
+
+    _check(quantiles.event_value_quantiles, quantiles.EVENT_VALUE_QUANTILES_SQL, con)
+
+
+def test_int_metric_quantiles_definition():
+    """Pins the quantile definition (sorted[max(0, ceil(p*n)-1)]) on a
+    hand-checkable array, independent of DuckDB."""
+    import ray.data as rd
+
+    from transner_ray.ops import quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"v": list(range(1, 11))}))
+    out = quantiles.int_metric_quantiles(ds, "v", ps=(0.25, 0.5, 0.9, 0.99, 1.0))
+    assert out["value"].tolist() == [3, 5, 9, 10, 10]
