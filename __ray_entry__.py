@@ -402,6 +402,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_born_triples": kg_born_triples,
         "kg_born_edges": kg_born_edges,
         "kg_born_entities": kg_born_entities,
+        # PageRank's quantized loop SQL-gated over the born graph
+        # (unrolled-iteration oracle, bit-exact integer stream);
+        # force_distributed so the gate runs the bucketed passes, not
+        # the small-graph driver fast path. 5 iterations / 4 buckets:
+        # each iteration is 2 materialized shuffles, a fixed ~6 s of
+        # Ray dispatch on this host regardless of data size, so the
+        # gate pays for 10 rounds, not 20 (the full-default loop is
+        # pinned by the pytest fast==distributed==oracle equality).
+        "born_entity_pagerank": lambda sf: pagerank_mod.entity_pagerank_over(
+            kg_born_edges(sf), force_distributed=True, iters=5, num_buckets=4
+        ),
         "kg_sentences": _kg_sentences_only,
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
@@ -428,6 +439,23 @@ def _born_city_sql() -> str:
 
     vals = ", ".join(f"'{c}'" for c in BORN_CITIES)
     return f"list_value({vals})[((3 * doc_id + 1) % {len(BORN_CITIES)}) + 1]"
+
+
+def _born_pagerank_sql() -> str:
+    """Unrolled-iteration replica of the quantized PageRank loop over
+    the born graph (see ops/pagerank.unrolled_pagerank_sql for why the
+    integer streams match bit-for-bit)."""
+    from transner_ray.ops.pagerank import unrolled_pagerank_sql
+
+    edges = f"""
+        SELECT 'per:' || p AS src, 'loc:' || c AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM (
+          SELECT {_born_person_sql()} AS p, {_born_city_sql()} AS c FROM documents
+        )
+        GROUP BY 1, 2
+    """
+    return unrolled_pagerank_sql(edges, iters=5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -544,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY subj_id, obj_id
         """,
+        "born_entity_pagerank": _born_pagerank_sql(),
         "kg_born_entities": f"""
             WITH m AS (
               SELECT {_born_person_sql()} AS p, {_born_city_sql()} AS c FROM documents

@@ -1156,3 +1156,58 @@ def test_int_metric_quantiles_definition():
     ds = rd.from_pandas(pd.DataFrame({"v": list(range(1, 11))}))
     out = quantiles.int_metric_quantiles(ds, "v", ps=(0.25, 0.5, 0.9, 0.99, 1.0))
     assert out["value"].tolist() == [3, 5, 9, 10, 10]
+
+
+def test_pagerank_sql_oracle_bit_exact():
+    """The unrolled SQL replica must reproduce the quantized integer
+    stream bit-for-bit on random graphs (no Ray needed — pins the
+    half-up rounding contract between engine arithmetic and SQL
+    round)."""
+    import duckdb
+
+    from transner_ray.ops.pagerank import (
+        PR_DAMPING,
+        PR_ITERS,
+        _driver_pagerank,
+        unrolled_pagerank_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        n_nodes = int(rng.integers(3, 50))
+        n_edges = int(rng.integers(3, 250))
+        df = (
+            pd.DataFrame(
+                {
+                    "src": rng.integers(0, n_nodes, n_edges),
+                    "dst": rng.integers(0, n_nodes, n_edges),
+                    "w": rng.integers(1, 9, n_edges),
+                }
+            )
+            .groupby(["src", "dst"], as_index=False)["w"]
+            .sum()
+        )
+        eng = _driver_pagerank(
+            df["src"].to_numpy(), df["dst"].to_numpy(), df["w"].to_numpy(),
+            PR_DAMPING, PR_ITERS,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+        c = duckdb.connect()
+        c.register("e", df)
+        ora = (
+            c.sql(unrolled_pagerank_sql("SELECT src, dst, w FROM e"))
+            .df()
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+        assert eng["node"].tolist() == ora["entity_id"].tolist()
+        assert np.array_equal(
+            eng["rank"].to_numpy().view(np.int64),
+            ora["rank"].to_numpy().view(np.int64),
+        ), "quantized rank streams diverged"
+
+
+def test_born_entity_pagerank_vs_duckdb(con):
+    import importlib
+
+    e = importlib.import_module("__ray_entry__")
+    _check(e.queries()["born_entity_pagerank"], e.oracle_sql()["born_entity_pagerank"], con)

@@ -58,6 +58,18 @@ PR_FLOOR_BUCKETS = 16
 PR_EXACT_MAX = 1 << 20
 _QS = float(1 << 40)  # fixed-point scale for order-free sums
 
+
+def _q_round(x):
+    """Quantize: round half UP (floor(x + 1/2)). Every quantized value
+    here is non-negative, where half-up equals SQL ``round``'s
+    half-away-from-zero — so the unrolled SQL oracle can reproduce the
+    integer stream bit-for-bit (np.rint's half-even CANNOT be matched
+    by SQL round, and uniform initial ranks make exact-.5 products
+    systematic in early iterations, not a corner case). x + 0.5 is
+    exact for |x| < 2**51 (0.5 is a multiple of ulp), so no
+    double-rounding."""
+    return np.floor(x + 0.5)
+
 # union-tag schema shared by both passes: kind 0=edge, 1=rank/contrib,
 # 2=node
 _ROWS = pa.schema(
@@ -112,7 +124,7 @@ def _contrib_bucket(damping: float):
             out_w = m.groupby("a")["w"].transform("sum").to_numpy()
             rank = m["q_r"].to_numpy() / _QS
             contrib = damping * rank * (m["w"].to_numpy() / out_w)
-            cq = np.rint(contrib * _QS).astype(np.int64)
+            cq = _q_round(contrib * _QS).astype(np.int64)
             part = (
                 pd.DataFrame({"a": m["b"].to_numpy(), "cq": cq})
                 .groupby("a", as_index=False)["cq"]
@@ -126,7 +138,7 @@ def _contrib_bucket(damping: float):
         # means none anywhere)
         dang = ranks[~ranks["a"].isin(edges["a"])] if len(ranks) else ranks
         if len(dang):
-            dq = np.rint(damping * (dang["q"].to_numpy() / _QS) * _QS).astype(np.int64)
+            dq = _q_round(damping * (dang["q"].to_numpy() / _QS) * _QS).astype(np.int64)
             out_tabs.append(_rows_table(3, [-1], [0], [0], [int(dq.sum())]))
         if not out_tabs:
             return _rows_table(1, [], [], [], [])
@@ -142,7 +154,7 @@ def _apply_bucket(base_q_term: float):
         nodes = g[g["kind"] == 2]["a"]
         contribs = g[g["kind"] == 1].groupby("a")["q"].sum()
         q = (
-            np.rint(base_q_term)
+            _q_round(base_q_term)
             + contribs.reindex(nodes.to_numpy(), fill_value=0).to_numpy()
         ).astype(np.int64)
         return _rows_table(1, nodes.to_numpy(), np.zeros(len(nodes)), np.zeros(len(nodes)), q)
@@ -231,7 +243,7 @@ def pagerank(
     n = nodes.count()
 
     # init: uniform 1/n, quantized
-    q0 = int(round(_QS / n))
+    q0 = int(_q_round(_QS / n))
 
     def init_ranks(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -282,16 +294,16 @@ def _driver_pagerank(
     out_w = np.zeros(n, dtype=np.int64)
     np.add.at(out_w, cs, w.astype(np.int64))
     has_out = out_w > 0
-    q = np.full(n, int(round(_QS / n)), dtype=np.int64)
+    q = np.full(n, int(_q_round(_QS / n)), dtype=np.int64)
     for _ in range(iters):
         rank = q / _QS
         contrib = damping * rank[cs] * (w / out_w[cs])
-        cq = np.rint(contrib * _QS).astype(np.int64)
+        cq = _q_round(contrib * _QS).astype(np.int64)
         in_q = np.zeros(n, dtype=np.int64)
         np.add.at(in_q, cd, cq)
-        dangling_q = int(np.rint(damping * (q[~has_out] / _QS) * _QS).astype(np.int64).sum())
+        dangling_q = int(_q_round(damping * (q[~has_out] / _QS) * _QS).astype(np.int64).sum())
         base_q = (1.0 - damping) * _QS / n + dangling_q / n
-        q = (np.rint(base_q) + in_q).astype(np.int64)
+        q = (_q_round(base_q) + in_q).astype(np.int64)
     return pa.table(
         {
             "node": pa.array(nodes.astype(np.int64)),
@@ -307,13 +319,25 @@ def entity_pagerank(sf_dir: str) -> rd.Dataset:
     """Centrality of KG entities: PageRank over the synthetic spine's
     edge list (subj_id → obj_id, weighted). Entity ids are hashed to
     int64 node ids for the rank loop and joined back for output.
-    Rows-only at the driver gate (iterative float fit has no SQL);
-    pinned by the exact-equality oracle and invariance tests in
-    pytest."""
+    Rows-only at the driver gate (the NER-spine input graph has no
+    SQL); the quantized loop ITSELF is SQL-gated via
+    ``born_entity_pagerank`` (same code path over the SQL-derivable
+    born graph) and pinned by the exact-equality oracle and invariance
+    tests in pytest."""
     import importlib
 
     entry = importlib.import_module("__ray_entry__")
     edges = entry.queries()["kg_edges"](sf_dir)
+    return entity_pagerank_over(edges)
+
+
+def entity_pagerank_over(
+    edges: rd.Dataset,
+    force_distributed: bool = False,
+    iters: int = PR_ITERS,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """PageRank over any (subj_id, obj_id, weight) entity edge list."""
 
     # entity_id (string) → stable int64 node id; keep the mapping as a
     # broadcast-scale side table for the final join-back
@@ -335,7 +359,13 @@ def entity_pagerank(sf_dir: str) -> rd.Dataset:
         )
 
     int_edges = edges.map_batches(to_int_edges, batch_format="pyarrow").materialize()
-    ranks = pagerank(int_edges, weight_col="weight")
+    ranks = pagerank(
+        int_edges,
+        weight_col="weight",
+        force_distributed=force_distributed,
+        iters=iters,
+        num_buckets=num_buckets,
+    )
 
     # join back node-hash → entity_id WITHOUT collecting the mapping:
     # the reduce-side union-tag join (dedup._attach_feats pattern) —
@@ -403,3 +433,58 @@ def entity_pagerank(sf_dir: str) -> rd.Dataset:
         .map_groups(lambda g: join_bucket(g.drop(columns=["_b"])), batch_format="pandas")
         .sort("entity_id")
     )
+
+
+# --------------------------------------------- SQL oracle (unrolled)
+
+def unrolled_pagerank_sql(
+    edges_sql: str,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> str:
+    """ANSI-SQL replica of the QUANTIZED rank loop, iterations
+    unrolled into a CTE chain — exact integer equality with the
+    engine is possible because every float step here mirrors the
+    numpy expression tree operation-for-operation (IEEE 754 * and /
+    are correctly rounded, so identical trees give identical
+    doubles; only rint-vs-round half cases could differ, and those
+    need a product landing on an exact .5 — never observed across
+    the test tiers). ``edges_sql`` must yield (src, dst, w).
+
+    NOTE ``(1.0 - {damping})`` is deliberate — Python computes
+    ``1.0 - 0.85 = 0.15000000000000002``, which is NOT double(0.15),
+    so the SQL must perform the same subtraction rather than inline
+    the decimal literal."""
+    qs = f"{_QS!r}"  # 1099511627776.0 — exact double literal
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+)""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT node, CAST(round({qs} / nn.n) AS BIGINT) AS q FROM nodes CROSS JOIN nn)",
+    ]
+    d = f"CAST({damping!r} AS DOUBLE)"
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f"""c{k} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(round((({d} * (r.q / {qs})) * (CAST(e.w AS DOUBLE) / ow.out_w)) * {qs}) AS BIGINT)) AS BIGINT) AS cq
+  FROM edges e JOIN r{p} r ON r.node = e.src JOIN outw ow ON ow.src = e.src
+  GROUP BY e.dst
+)""")
+        parts.append(f"""d{k} AS MATERIALIZED (
+  SELECT COALESCE(SUM(CAST(round(({d} * (r.q / {qs})) * {qs}) AS BIGINT)), 0) AS dq
+  FROM r{p} r LEFT JOIN outw ow ON ow.src = r.node WHERE ow.src IS NULL
+)""")
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(round((((CAST(1.0 AS DOUBLE) - {d}) * {qs}) / nn.n) + (d{k}.dq / nn.n)) AS BIGINT)
+           + COALESCE(c.cq, 0) AS q
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{k} LEFT JOIN c{k} c ON c.node = n.node
+)""")
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node AS entity_id, q / {qs} AS rank FROM r{iters} ORDER BY entity_id"
