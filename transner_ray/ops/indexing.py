@@ -258,3 +258,147 @@ FROM (
   FROM documents
 )
 """
+
+
+# --------------------------------------------------------------- BM25
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "stream")  # deterministic gate query
+BM25_TOP_K = 10
+
+
+def bm25_topk(
+    sf_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOP_K,
+) -> pd.DataFrame:
+    """Text retrieval: global top-k documents by BM25 against a fixed
+    term query — the text-side sibling of ``ops/similarity``'s ANN.
+
+    Two passes, both scale-safe:
+
+    1. corpus stats — one streaming aggregate: per-batch partials of
+       (Σ doc length, per-query-term document frequency); the driver
+       sums one short row per batch. N comes from the parquet footer.
+    2. score-and-select — per batch, score every doc against the
+       (broadcast-scale) query stats and keep the batch-local top-k;
+       the driver merges blocks × k rows (the ann_brute_force
+       pattern — no full-corpus sort, no shuffle at all).
+
+    Constants k1/b are exact binary doubles and the score expression
+    tree mirrors the SQL oracle's operation-for-operation, so engine
+    and oracle agree far inside the gate's round(6) comparison."""
+    from .io import parquet_num_rows
+
+    qterms = tuple(sorted(query))
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        total_len = 0
+        dfs = dict.fromkeys(qterms, 0)
+        for t in df["text"]:
+            ws = _WORD_RE.findall(t.lower())
+            total_len += len(ws)
+            present = set(ws)
+            for qt in qterms:
+                if qt in present:
+                    dfs[qt] += 1
+        row = {"total_len": [total_len]}
+        for qt in qterms:
+            row[f"df_{qt}"] = [dfs[qt]]
+        return pd.DataFrame(row)
+
+    parts = (
+        _read_docs(sf_dir)
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()  # one short row per batch
+        .sum()
+    )
+    avgdl = int(parts["total_len"]) / n_docs
+    idf = {
+        qt: float(
+            np.log((n_docs - int(parts[f"df_{qt}"]) + 0.5)
+                   / (int(parts[f"df_{qt}"]) + 0.5) + 1.0)
+        )
+        for qt in qterms
+    }
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_scores = [], []
+        for doc_id, t in zip(df["doc_id"].to_numpy(), df["text"]):
+            ws = _WORD_RE.findall(t.lower())
+            dl = len(ws)
+            score = 0.0
+            hit = False
+            for qt in qterms:
+                tf = ws.count(qt)
+                if tf:
+                    hit = True
+                    score += idf[qt] * (
+                        (tf * (BM25_K1 + 1.0))
+                        / (tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)))
+                    )
+            if hit:
+                out_ids.append(doc_id)
+                out_scores.append(score)
+        part = pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "score": pd.Series(out_scores, dtype="float64"),
+            }
+        )
+        return part.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    cand = (
+        _read_docs(sf_dir)
+        .map_batches(score_topk, batch_format="pandas")
+        .to_pandas()  # blocks × k rows
+    )
+    return (
+        cand.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def _bm25_query_list() -> str:
+    return "[" + ", ".join(f"'{t}'" for t in sorted(BM25_QUERY)) + "]"
+
+
+BM25_TOPK_SQL = f"""
+WITH q AS (SELECT unnest({_bm25_query_list()}) AS term),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+d AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok JOIN q USING (term) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok JOIN q USING (term) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+           ((tf.tf * ({BM25_K1!r} + 1.0))
+            / (tf.tf + {BM25_K1!r} * ((1.0 - {BM25_B!r}) + {BM25_B!r} * (dl.dl / stats.avgdl))))
+         ) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN d USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
