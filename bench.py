@@ -148,8 +148,10 @@ def bench_queries() -> dict:
     from transner_ray.ops import (
         cc,
         dedup,
+        indexing,
         joins,
         pack,
+        quantiles,
         relational,
         similarity,
         sketches,
@@ -183,6 +185,11 @@ def bench_queries() -> dict:
     out["approx_distinct_tokens"] = _timed(sketches.approx_distinct_tokens, SF_DIR)
     out["asof_last_order"] = _timed(joins.last_order_before_event, SF_DIR)
     out["range_join_windows"] = _timed(joins.range_join_windows, SF_DIR)
+    out["inverted_index"] = _timed(indexing.inverted_index, SF_DIR)
+    out["tfidf_top_terms"] = _timed(indexing.tfidf_top_terms, SF_DIR)
+    out["bm25_topk"] = _timed(indexing.bm25_topk, SF_DIR)
+    out["token_count_quantiles"] = _timed(quantiles.token_count_quantiles, SF_DIR)
+    out["event_value_quantiles"] = _timed(quantiles.event_value_quantiles, SF_DIR)
     return out
 
 
