@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": sketches.approx_distinct_tokens,
         # exact distinct-terms sibling of the HLL sketch (SQL-checked)
         "distinct_terms": indexing.distinct_terms,
+        # Misra-Gries candidates + exact verify pass → SQL-checkable
+        "heavy_hitter_terms": sketches.heavy_hitter_terms,
         # ---- IR indexing + retrieval (all SQL-checked) ----
         "inverted_index": indexing.inverted_index,
         "tfidf_top_terms": indexing.tfidf_top_terms,
@@ -470,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         quantiles,
         relational,
         similarity,
+        sketches,
         textstats,
         traindata,
     )
@@ -518,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_order": joins.ASOF_LAST_ORDER_SQL,
         "range_join_windows": joins.RANGE_JOIN_WINDOWS_SQL,
         "distinct_terms": indexing.DISTINCT_TERMS_SQL,
+        "heavy_hitter_terms": sketches.heavy_hitters_sql(),
         "inverted_index": indexing.INVERTED_INDEX_SQL,
         "tfidf_top_terms": indexing.TFIDF_SQL,
         "bm25_topk": indexing.BM25_TOPK_SQL,

@@ -188,6 +188,7 @@ def bench_queries() -> dict:
     out["inverted_index"] = _timed(indexing.inverted_index, SF_DIR)
     out["tfidf_top_terms"] = _timed(indexing.tfidf_top_terms, SF_DIR)
     out["bm25_topk"] = _timed(indexing.bm25_topk, SF_DIR)
+    out["heavy_hitter_terms"] = _timed(sketches.heavy_hitter_terms, SF_DIR)
     out["token_count_quantiles"] = _timed(quantiles.token_count_quantiles, SF_DIR)
     out["event_value_quantiles"] = _timed(quantiles.event_value_quantiles, SF_DIR)
     return out

@@ -1228,3 +1228,36 @@ def test_bm25_ranking_sanity():
     top = indexing.bm25_topk(SF, query=("hash",), k=5)
     assert len(top) == 5
     assert (top["score"].to_numpy()[:-1] >= top["score"].to_numpy()[1:]).all()
+
+
+def test_heavy_hitter_terms_vs_duckdb(con):
+    from transner_ray.ops import sketches
+
+    _check(sketches.heavy_hitter_terms, sketches.heavy_hitters_sql(), con)
+
+
+def test_mg_fold_superset_guarantee():
+    """Misra-Gries invariant: after folding arbitrary skewed batch
+    summaries at capacity m, every term with global count > N/m must
+    survive as a candidate (no Ray, pure property test)."""
+    from transner_ray.ops.sketches import _mg_fold
+
+    rng = np.random.default_rng(13)
+    m = 8
+    # Zipf-ish stream split into uneven batches
+    vocab = [f"t{i}" for i in range(200)]
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    stream = rng.choice(vocab, size=5000, p=weights)
+    true = pd.Series(stream).value_counts()
+    summary = {}
+    i = 0
+    while i < len(stream):
+        step = int(rng.integers(1, 400))
+        batch = pd.Series(stream[i : i + step]).value_counts()
+        _mg_fold(summary, batch.index.to_numpy(), batch.to_numpy(), m)
+        i += step
+    n = len(stream)
+    heavy = set(true[true > n / m].index)
+    assert heavy <= set(summary), f"missing heavy terms: {heavy - set(summary)}"
+    assert len(summary) <= 2 * m  # bounded between shrinks

@@ -103,3 +103,121 @@ def hll_oracle(sf_dir: str, p: int = HLL_P) -> pd.DataFrame:
     for h in _batch_word_hashes(texts):
         _hll_fold(h, regs, p)
     return pd.DataFrame({"approx_distinct": pd.Series([round(_hll_estimate(regs, p))], dtype="int64")})
+
+
+# ------------------------------------------ Misra-Gries heavy hitters
+
+HH_CAPACITY = 64  # MG capacity m: guarantees every term with count > N/m
+
+
+def _mg_fold(summary: dict[str, int], terms, counts, m: int) -> None:
+    """Merge one batch's exact (term, count) summary into the running
+    Misra-Gries summary IN PLACE, then shrink back to ≤ m counters by
+    subtracting the (m+1)-th largest count from every counter and
+    dropping the non-positive ones (Agarwal et al., "Mergeable
+    Summaries", PODS'12 — the shrink preserves the MG guarantee:
+    underestimates by at most N/m in total)."""
+    for t, c in zip(terms, counts):
+        summary[t] = summary.get(t, 0) + int(c)
+    if len(summary) > m:
+        vals = sorted(summary.values(), reverse=True)
+        cut = vals[m]  # (m+1)-th largest
+        for t in [t for t, c in summary.items() if c - cut <= 0]:
+            del summary[t]
+        for t in summary:
+            summary[t] -= cut
+
+
+def heavy_hitter_terms(sf_dir: str, m: int = HH_CAPACITY) -> pd.DataFrame:
+    """EXACT frequent-items: every term whose corpus count strictly
+    exceeds N_tokens/m, with its exact count — found WITHOUT shuffling
+    token counts (contrast ``traindata.vocab_topk``, which exchanges
+    the full per-batch vocabulary):
+
+    1. sketch pass — per-batch exact counts fold into one driver-side
+       Misra-Gries summary of ≤ m counters, streamed via iter_batches
+       (the per-batch partial is its value_counts — short rows; the
+       driver never holds more than m + batch-vocab counters). The MG
+       guarantee makes the surviving ≤ m terms a SUPERSET of every
+       term with count > N/m.
+    2. verify pass — the ≤ m candidates broadcast into a second
+       streaming aggregate that produces their EXACT counts plus the
+       total token count; filter ``cnt * m > N``.
+
+    Exactness of the final output is what makes the op SQL-checkable
+    (HAVING count(*) * m > total); the sketch only bounds the
+    candidate set. Both passes are shuffle-free."""
+    docs = _read_docs(sf_dir)
+
+    def batch_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from .indexing import _WORD_RE
+
+        words: list[str] = []
+        for t in df["text"]:
+            words.extend(_WORD_RE.findall(t.lower()))
+        s = pd.Series(words, dtype="object").value_counts()
+        return pd.DataFrame(
+            {"term": s.index.to_numpy(), "cnt": s.to_numpy().astype("int64")}
+        )
+
+    summary: dict[str, int] = {}
+    for t in docs.map_batches(batch_counts, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        _mg_fold(summary, t["term"].to_numpy(), t["cnt"].to_numpy(), m)
+    cand = frozenset(summary)
+
+    import ray
+
+    cand_ref = ray.put(cand)
+
+    def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from .indexing import _WORD_RE
+
+        cset = ray.get(cand_ref)
+        total = 0
+        hits: dict[str, int] = {}
+        for t in df["text"]:
+            ws = _WORD_RE.findall(t.lower())
+            total += len(ws)
+            for w in ws:
+                if w in cset:
+                    hits[w] = hits.get(w, 0) + 1
+        # one sentinel row carries the batch's token total; candidate
+        # hit rows carry counts (≤ m of them)
+        terms = ["\x00"] + sorted(hits)
+        return pd.DataFrame(
+            {
+                "term": pd.Series(terms, dtype="object"),
+                "cnt": pd.Series([0] + [hits[t] for t in terms[1:]], dtype="int64"),
+                "total": pd.Series([total] + [0] * len(hits), dtype="int64"),
+            }
+        )
+
+    parts = (
+        docs.map_batches(exact_counts, batch_format="pandas").to_pandas()
+    )  # ≤ (m + 1) short rows per batch
+    n_total = int(parts["total"].sum())
+    agg = (
+        parts[parts["term"] != "\x00"]
+        .groupby("term", as_index=False)["cnt"]
+        .sum()
+    )
+    out = agg[agg["cnt"].to_numpy() * m > n_total]
+    return (
+        out.sort_values(["cnt", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def heavy_hitters_sql(m: int = HH_CAPACITY) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents
+), n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM tok CROSS JOIN n
+GROUP BY term, n.c
+HAVING count(*) * {m} > n.c
+ORDER BY cnt DESC, term ASC
+"""
