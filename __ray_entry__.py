@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": traindata.decontaminate,
         "vocab_topk": traindata.vocab_topk,
         "stratified_sample": traindata.stratified_sample,
+        "cap_per_group": traindata.cap_per_group,
         # flagship composite: train split → quality → dedup keeper →
         # decontaminate → pack, in one streaming pass + one reduce
         "prepare_training_data": traindata.prepare_training_data,
@@ -516,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": traindata.DECONTAMINATE_SQL,
         "vocab_topk": traindata.VOCAB_TOPK_SQL,
         "stratified_sample": traindata.stratified_sample_sql(),
+        "cap_per_group": traindata.cap_per_group_sql(),
         "prepare_training_data": traindata.prepare_training_data_sql(),
         "epoch_shuffle": traindata.epoch_shuffle_sql(),
         "asof_last_order": joins.ASOF_LAST_ORDER_SQL,

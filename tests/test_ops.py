@@ -1261,3 +1261,16 @@ def test_mg_fold_superset_guarantee():
     heavy = set(true[true > n / m].index)
     assert heavy <= set(summary), f"missing heavy terms: {heavy - set(summary)}"
     assert len(summary) <= 2 * m  # bounded between shrinks
+
+
+def test_cap_per_group_vs_duckdb(con):
+    from transner_ray.ops import traindata
+
+    _check(traindata.cap_per_group, traindata.cap_per_group_sql(), con)
+
+
+def test_cap_per_group_bound():
+    from transner_ray.ops import traindata
+
+    out = traindata.cap_per_group(SF, n=3).to_pandas()
+    assert (out.groupby("source").size() <= 3).all()

@@ -491,3 +491,51 @@ FROM (
 )
 ORDER BY pos
 """
+
+
+# ------------------------------------------- per-group cap sampling
+
+CAP_PER_SOURCE = 20  # driver-gate cap
+
+
+def cap_per_group(sf_dir: str, n: int = CAP_PER_SOURCE) -> rd.Dataset:
+    """Domain capping: keep at most ``n`` documents per source, chosen
+    by deterministic hash order (Knuth-multiplicative of doc_id, ties
+    impossible — doc_id is unique) — the standard web-pipeline defense
+    against a single domain dominating the training mix, and the
+    fixed-size sibling of ``stratified_sample``'s fixed-RATE mix.
+
+    One bucketed shuffle by source; each reduce task ranks its
+    sources' rows vectorized and heads ``n``. A pathologically hot
+    source costs its full row set in one task — rows here are (id,
+    source) stubs, not text, so the task is bounded by ~16 bytes ×
+    group size; capping before fetching text is the point."""
+    from .agg import bucketed_group_reduce, hash_str_col
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["_h"] = (g["doc_id"].to_numpy().astype(np.uint64) * np.uint64(_KNUTH32)) % np.uint64(_U32)
+        g = g.sort_values(["source", "_h"])
+        out = g.groupby("source", sort=False).head(n)
+        return out[["doc_id", "source"]].astype({"doc_id": "int64"})
+
+    return bucketed_group_reduce(
+        _read_docs(sf_dir, ["doc_id", "source"]),
+        lambda df: hash_str_col(df["source"]),
+        reduce,
+        input_rows=_docs_rows(sf_dir),
+    ).sort("doc_id")
+
+
+def cap_per_group_sql(n: int = CAP_PER_SOURCE) -> str:
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY (doc_id * {_KNUTH32}) % {_U32}
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {n}
+ORDER BY doc_id
+"""
