@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_lower_count": relational.union_lower_count,
         "brand_stats": relational.brand_stats,
         "user_sessions": relational.user_sessions,
+        "running_totals": relational.running_totals,
         "top_parts_per_brand": relational.top_parts_per_brand,
         "customers_without_big_orders": relational.customers_without_big_orders,
         "event_props_stats": relational.event_props_stats,
@@ -490,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "union_lower_count": relational.UNION_LOWER_COUNT_SQL,
         "brand_stats": relational.BRAND_STATS_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
+        "running_totals": relational.RUNNING_TOTALS_SQL,
         "top_parts_per_brand": relational.TOP_PARTS_PER_BRAND_SQL,
         "customers_without_big_orders": relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "event_props_stats": relational.EVENT_PROPS_STATS_SQL,

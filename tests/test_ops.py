@@ -1274,3 +1274,9 @@ def test_cap_per_group_bound():
 
     out = traindata.cap_per_group(SF, n=3).to_pandas()
     assert (out.groupby("source").size() <= 3).all()
+
+
+def test_running_totals_vs_duckdb(con):
+    from transner_ray.ops import relational
+
+    _check(relational.running_totals, relational.RUNNING_TOTALS_SQL, con)

@@ -870,3 +870,64 @@ SELECT p_brand, count(*) AS n, max(p_size) AS max_size,
        round(sum(p_retailprice) / count(*), 4) AS avg_price
 FROM part GROUP BY p_brand ORDER BY p_brand
 """
+
+
+# ------------------------------------------------- running totals
+
+def running_totals(sf_dir: str) -> rd.Dataset:
+    """Per-user cumulative window aggregate: each event row gets its
+    1-based sequence number and the running sum of ``value`` over the
+    user's events ordered by (ts, event_id) — the ORDER BY window
+    shape (``SUM ... OVER (PARTITION BY ... ORDER BY ...)``) that
+    complements the gap-session (`user_sessions`) and sliding-window
+    (`events_sliding`) operators. Same partitioned hash-aggregate
+    contract: one bucketed shuffle by user, one vectorized pandas pass
+    per bucket (sort + groupby cumsum/cumcount). The running sum is
+    over CENTI-QUANTIZED values (int64 of round(value·2^20), the
+    repo's exact-oracle recipe): integer addition is order-free, so
+    the stream matches SQL's windowed SUM bit-for-bit — a float cumsum
+    would differ at the ulp level from DuckDB's segment-tree
+    summation order and flake the gate's round(6) compare."""
+    from .agg import scaled_num_buckets
+    from .dedup import _mix64
+
+    nb = scaled_num_buckets(_rows(sf_dir, "events"), floor=USER_BUCKETS)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy().astype(np.uint64)
+        df["bucket"] = (_mix64(u) % np.uint64(nb)).astype("int32")
+        return df
+
+    def cumulate_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["_vq"] = np.floor(g["value"].to_numpy() * float(1 << 20) + 0.5).astype(
+            "int64"
+        )
+        grp = g.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "seq": (grp.cumcount() + 1).to_numpy().astype("int64"),
+                "running_value_q": grp["_vq"].cumsum().to_numpy().astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: cumulate_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
+RUNNING_TOTALS_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(SUM(CAST(round(value * 1048576.0) AS BIGINT)) OVER w AS BIGINT) AS running_value_q
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
