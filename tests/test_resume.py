@@ -129,3 +129,30 @@ def test_manifest_lineage_content(workdir):
     assert m["partition"] == 0
     assert all(os.path.exists(p) for p in m["input_files"])
     assert m["wall_sec"] > 0
+
+
+def test_append_only_ingest_runs_only_new_partitions(tmp_path):
+    """Incremental ingest contract: with one partition per file and
+    shard names that sort after the existing ones, appending shards
+    leaves completed partition identities untouched — the rerun
+    processes ONLY the new files, and the output equals a cold
+    full-corpus run."""
+    from transner_ray import synth
+
+    full = synth.write_pages(
+        str(tmp_path / "pages"), seed=42, n_docs=40, num_shards=4
+    )
+    ckpt_inc = str(tmp_path / "ckpt_inc")
+    first = sorted(full)[:2]
+    r1 = kg.run_partitioned(first, ckpt_inc, num_partitions=len(first))
+    assert len(r1["ran"]) == 2
+
+    r2 = kg.run_partitioned(sorted(full), ckpt_inc, num_partitions=len(full))
+    assert sorted(r2["skipped"]) == [0, 1]  # old shards kept their pids
+    assert sorted(r2["ran"]) == [2, 3]
+
+    ckpt_cold = str(tmp_path / "ckpt_cold")
+    r3 = kg.run_partitioned(sorted(full), ckpt_cold, num_partitions=len(full))
+    pd.testing.assert_frame_equal(
+        _edges(r2["out_dir"]), _edges(r3["out_dir"])
+    )

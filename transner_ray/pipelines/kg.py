@@ -233,6 +233,13 @@ def run_partitioned(
 
     Returns {'skipped': [...], 'ran': [...], 'entities': n, 'edges': n,
     'out_dir': ...}.
+
+    Append-only ingest: with one partition per file
+    (``num_partitions=len(input_files)``) and shard names that sort
+    after the existing ones (date/sequence-numbered crawl shards do),
+    appending files leaves completed partition identities untouched —
+    a rerun processes ONLY the new files and re-reduces phase 2
+    (pinned by ``test_append_only_ingest_runs_only_new_partitions``).
     """
     store = CheckpointStore(ckpt_dir)
     parts = plan_partitions(input_files, num_partitions)
