@@ -383,6 +383,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- exact distributed quantiles (SQL-checked) ----
         "token_count_quantiles": quantiles.token_count_quantiles,
         "event_value_quantiles": quantiles.event_value_quantiles,
+        # mergeable-histogram sketch for continuous columns; rows-only
+        # (no SQL computes the sketch) — error-bound + block-split
+        # invariance pinned in pytest; exact siblings above are the
+        # SQL-gated definition
+        "approx_value_quantiles": quantiles.approx_value_quantiles,
         # ---- custom time-series joins (SQL-checked) ----
         "asof_last_order": joins.last_order_before_event,
         "range_join_windows": joins.range_join_windows,

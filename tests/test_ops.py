@@ -1280,3 +1280,37 @@ def test_running_totals_vs_duckdb(con):
     from transner_ray.ops import relational
 
     _check(relational.running_totals, relational.RUNNING_TOTALS_SQL, con)
+
+
+def test_approx_value_quantiles_error_bound():
+    """Histogram-sketch quantiles must sit within one bin width of the
+    exact discrete quantile, at every requested p."""
+    import duckdb
+
+    from transner_ray.ops import quantiles
+
+    got = quantiles.approx_value_quantiles(SF)
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    exact = c.sql(
+        f"SELECT unnest(quantile_disc(value, {quantiles._ps_sql_list()})) v FROM events"
+    ).df()["v"].to_numpy()
+    env = c.sql("SELECT min(value) lo, max(value) hi FROM events").df()
+    bound = float(env["hi"][0] - env["lo"][0]) / quantiles.APPROX_Q_BINS
+    assert np.all(np.abs(got["value"].to_numpy() - exact) <= bound + 1e-9)
+
+
+def test_approx_value_quantiles_block_invariant():
+    """Elementwise histogram merge ⇒ identical output at any read
+    fan-out (1 block vs 13 blocks of the same rows)."""
+    import ray.data as rd
+
+    from transner_ray.ops import quantiles
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"v": rng.standard_normal(5000) * 37.0 + 5.0})
+    a = quantiles.histogram_quantiles(rd.from_pandas(df), "v")
+    b = quantiles.histogram_quantiles(
+        rd.from_pandas(df).repartition(13), "v"
+    )
+    pd.testing.assert_frame_equal(a, b)

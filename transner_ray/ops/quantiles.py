@@ -166,3 +166,81 @@ SELECT event_type, unnest({_ps_sql_list()}) AS p,
 FROM events
 GROUP BY event_type
 """
+
+
+# ------------------------------- approximate continuous quantiles
+
+APPROX_Q_BINS = 4096
+
+
+def approx_value_quantiles(
+    sf_dir: str,
+    table: str = "events",
+    value_col: str = "value",
+    ps: tuple[float, ...] = QUANTILE_PS,
+    n_bins: int = APPROX_Q_BINS,
+) -> pd.DataFrame:
+    """Mergeable-histogram quantiles for a CONTINUOUS column — the
+    scale path the exact per-group sort cannot take when one group
+    outgrows a task. Two shuffle-free streaming passes:
+
+    1. range pass — per-block (min, max, count) partials, driver
+       takes the global envelope (short rows only).
+    2. histogram pass — per-block equi-width bin counts over the
+       global range travel as ONE int64 vector per block; the driver
+       merge is elementwise ``+`` (associative/commutative ⇒ result
+       is identical at any block split or task order).
+
+    The answer is the upper edge of the bin containing the quantile
+    position, so the DETERMINISTIC error contract is
+    ``|q̂ - q| ≤ (max - min) / n_bins`` — pytest pins both the bound
+    vs the exact quantile and the block-split invariance. Rows-only
+    at the driver gate (SQL has no histogram sketch); the exact
+    sibling gates (`token_count_quantiles`, `event_value_quantiles`)
+    cover the definition."""
+    from .io import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=[value_col])
+    return histogram_quantiles(ds, value_col, ps=ps, n_bins=n_bins)
+
+
+def histogram_quantiles(
+    ds: rd.Dataset,
+    value_col: str,
+    ps: tuple[float, ...] = QUANTILE_PS,
+    n_bins: int = APPROX_Q_BINS,
+) -> pd.DataFrame:
+    """Dataset-level core of :func:`approx_value_quantiles` (split out
+    so the block-split invariance is testable on arbitrary inputs)."""
+
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        return pd.DataFrame(
+            {"lo": [v.min()], "hi": [v.max()], "n": [len(v)]}
+        )
+
+    env = ds.map_batches(
+        range_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    lo, hi, n = float(env["lo"].min()), float(env["hi"].max()), int(env["n"].sum())
+    if hi <= lo:
+        return pd.DataFrame({"p": np.array(ps), "value": np.full(len(ps), lo)})
+    width = (hi - lo) / n_bins
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        idx = np.minimum(((v - lo) / width).astype(np.int64), n_bins - 1)
+        counts = np.bincount(idx, minlength=n_bins).astype(np.int64)
+        return pd.DataFrame({"bin": np.arange(n_bins, dtype=np.int64), "cnt": counts})
+
+    parts = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby("bin")["cnt"].sum().reindex(range(n_bins), fill_value=0)
+    cum = hist.cumsum().to_numpy()
+    pos = _disc_positions(ps, n)
+    bins = np.searchsorted(cum, pos + 1)
+    return pd.DataFrame(
+        {
+            "p": np.array(ps, dtype=np.float64),
+            "value": lo + (bins + 1) * width,  # upper bin edge
+        }
+    )
