@@ -60,6 +60,22 @@ def _docs_rows(sf_dir: str) -> int | None:
     return parquet_num_rows(f"{sf_dir}/documents.parquet")
 
 
+
+# Average distinct-terms-per-doc estimate used to size the reduce
+# fan-out of the EXPLODED (doc, term) shuffles: bucketed_group_reduce's
+# input here is ~TERMS_PER_DOC_EST × the document count, so sizing
+# buckets from the doc count alone would under-provision the reduce by
+# that factor at corpus scale (the bounded-task contract in ops/agg).
+# Conservative for web text; harmless at small scale (the floor
+# dominates below ~16M shuffle rows).
+TERMS_PER_DOC_EST = 256
+
+
+def _pair_rows(sf_dir: str) -> int | None:
+    n = _docs_rows(sf_dir)
+    return n * TERMS_PER_DOC_EST if n else None
+
+
 def doc_term_freqs(df: pd.DataFrame) -> pd.DataFrame:
     """Stage A batch fn: distinct (doc_id, term, tf) rows. Tokens are
     the ``vocab_topk`` words ([a-z]+ runs of the lowercased text) so
@@ -118,27 +134,38 @@ def inverted_index(
     )
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # df FIRST, lists only for survivors: a pruned stopword or a
+        # hapax must never materialize its posting list at all (the
+        # list for a hot term is O(corpus) in this one task)
         g = g.sort_values(["term", "doc_id"])
-        counts = g.groupby("term", sort=True)["doc_id"].agg(["count", list])
-        counts = counts[counts["count"] >= min_df]
-        out = pd.DataFrame(
+        df_col = g.groupby("term", sort=False)["term"].transform("size")
+        keep = df_col.to_numpy() >= min_df
+        listed = keep if df_cap is None else keep & (df_col.to_numpy() <= df_cap)
+        lists = (
+            g[listed].groupby("term", sort=True)["doc_id"].agg(list)
+            if listed.any()
+            else pd.Series(dtype="object")
+        )
+        counts = (
+            g[keep].groupby("term", sort=True).size().astype("int64")
+            if keep.any()
+            else pd.Series(dtype="int64")
+        )
+        return pd.DataFrame(
             {
                 "term": counts.index.to_numpy(),
-                "df": counts["count"].to_numpy().astype("int64"),
-                "postings": counts["list"].to_numpy(),
+                "df": counts.to_numpy(),
+                "postings": counts.index.map(
+                    lambda t: lists[t] if t in lists.index else []
+                ).to_numpy(),
             }
         )
-        if df_cap is not None:
-            hot = out["df"].to_numpy() > df_cap
-            if hot.any():
-                out.loc[hot, "postings"] = out.loc[hot, "postings"].map(lambda _: [])
-        return out
 
     return bucketed_group_reduce(
         _doc_term_dataset(sf_dir),
         lambda df: hash_str_col(df["term"]),
         reduce,
-        input_rows=_docs_rows(sf_dir),
+        input_rows=_pair_rows(sf_dir),
     )
 
 
@@ -177,7 +204,7 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> rd.Dataset:
         _doc_term_dataset(sf_dir),
         lambda df: hash_str_col(df["term"]),
         attach_df,
-        input_rows=_docs_rows(sf_dir),
+        input_rows=_pair_rows(sf_dir),
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -194,7 +221,7 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> rd.Dataset:
         with_df,
         lambda df: _mix64(df["doc_id"].to_numpy(np.uint64)),
         topk,
-        input_rows=_docs_rows(sf_dir),
+        input_rows=_pair_rows(sf_dir),
     )
 
 
@@ -246,7 +273,7 @@ def distinct_terms(sf_dir: str) -> pd.DataFrame:
         uniq,
         lambda df: hash_str_col(df["term"]),
         reduce,
-        input_rows=_docs_rows(sf_dir),
+        input_rows=_pair_rows(sf_dir),
     ).to_pandas()
     return pd.DataFrame({"n_terms": [int(per_bucket["n"].sum())]})
 
@@ -293,6 +320,8 @@ def bm25_topk(
 
     qterms = tuple(sorted(query))
     n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    if not n_docs:  # unreadable footer — same fallback as tfidf_top_terms
+        n_docs = int(_read_docs(sf_dir).count())
 
     def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
         total_len = 0

@@ -215,6 +215,8 @@ def histogram_quantiles(
 
     def range_partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[value_col].to_numpy(np.float64)
+        if not len(v):  # empty block (post-filter / over-partitioned)
+            return pd.DataFrame({"lo": [], "hi": [], "n": []})
         return pd.DataFrame(
             {"lo": [v.min()], "hi": [v.max()], "n": [len(v)]}
         )

@@ -888,15 +888,9 @@ def running_totals(sf_dir: str) -> rd.Dataset:
     the stream matches SQL's windowed SUM bit-for-bit — a float cumsum
     would differ at the ulp level from DuckDB's segment-tree
     summation order and flake the gate's round(6) compare."""
-    from .agg import scaled_num_buckets
-    from .dedup import _mix64
+    from .agg import bucketed_group_reduce, hash_int_col, scaled_num_buckets
 
     nb = scaled_num_buckets(_rows(sf_dir, "events"), floor=USER_BUCKETS)
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        u = df["user_id"].to_numpy().astype(np.uint64)
-        df["bucket"] = (_mix64(u) % np.uint64(nb)).astype("int32")
-        return df
 
     def cumulate_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -913,21 +907,18 @@ def running_totals(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return (
-        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-        .map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(
-            lambda g: cumulate_bucket(g.drop(columns=["bucket"])),
-            batch_format="pandas",
-        )
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        lambda df: hash_int_col(df["user_id"]),
+        cumulate_bucket,
+        num_buckets=nb,
     )
 
 
 RUNNING_TOTALS_SQL = """
 SELECT event_id, user_id,
        CAST(row_number() OVER w AS BIGINT) AS seq,
-       CAST(SUM(CAST(round(value * 1048576.0) AS BIGINT)) OVER w AS BIGINT) AS running_value_q
+       CAST(SUM(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_value_q
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """

@@ -147,7 +147,7 @@ def heavy_hitter_terms(sf_dir: str, m: int = HH_CAPACITY) -> pd.DataFrame:
     Exactness of the final output is what makes the op SQL-checkable
     (HAVING count(*) * m > total); the sketch only bounds the
     candidate set. Both passes are shuffle-free."""
-    docs = _read_docs(sf_dir)
+    docs = _read_docs(sf_dir, ["text"])
 
     def batch_counts(df: pd.DataFrame) -> pd.DataFrame:
         from .indexing import _WORD_RE

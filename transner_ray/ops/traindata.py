@@ -225,9 +225,8 @@ def stratified_sample(
     rates = SAMPLE_RATES if rates is None else rates
 
     def keep_batch(df: pd.DataFrame) -> pd.DataFrame:
-        u = (df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(_KNUTH32)) % np.uint64(
-            _U32
-        )
+        a = df["doc_id"].to_numpy().astype(np.uint64) % np.uint64(_U32)
+        u = (a * np.uint64(_KNUTH32)) % np.uint64(_U32)  # mod-first: no wrap at any doc_id
         pct = df["source"].map(rates).fillna(default_pct).to_numpy(dtype=np.int64)
         kept = df[(u % np.uint64(100)).astype(np.int64) < pct]
         return pd.DataFrame(
@@ -252,7 +251,7 @@ def stratified_sample_sql(
     return f"""
 SELECT doc_id, source
 FROM documents
-WHERE ((doc_id * {_KNUTH32}) % {_U32}) % 100
+WHERE ((CAST(doc_id AS HUGEINT) * {_KNUTH32}) % {_U32}) % 100
       < (CASE source {cases} ELSE {default_pct} END)
 ORDER BY doc_id
 """
@@ -514,8 +513,12 @@ def cap_per_group(sf_dir: str, n: int = CAP_PER_SOURCE) -> rd.Dataset:
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        g["_h"] = (g["doc_id"].to_numpy().astype(np.uint64) * np.uint64(_KNUTH32)) % np.uint64(_U32)
-        g = g.sort_values(["source", "_h"])
+        # mod-first keeps the product < 2^64 for ANY int64 doc_id
+        # (a·K mod 2^32 == (a mod 2^32)·K mod 2^32); doc_id tiebreak
+        # makes the order total even when two ids collide mod 2^32
+        a = g["doc_id"].to_numpy().astype(np.uint64) % np.uint64(_U32)
+        g["_h"] = (a * np.uint64(_KNUTH32)) % np.uint64(_U32)
+        g = g.sort_values(["source", "_h", "doc_id"])
         out = g.groupby("source", sort=False).head(n)
         return out[["doc_id", "source"]].astype({"doc_id": "int64"})
 
@@ -532,7 +535,8 @@ def cap_per_group_sql(n: int = CAP_PER_SOURCE) -> str:
 SELECT doc_id, source FROM (
   SELECT doc_id, source,
          row_number() OVER (
-           PARTITION BY source ORDER BY (doc_id * {_KNUTH32}) % {_U32}
+           PARTITION BY source
+           ORDER BY (CAST(doc_id AS HUGEINT) * {_KNUTH32}) % {_U32}, doc_id
          ) AS rn
   FROM documents
 )
