@@ -235,9 +235,14 @@ def histogram_quantiles(
         counts = np.bincount(idx, minlength=n_bins).astype(np.int64)
         return pd.DataFrame({"bin": np.arange(n_bins, dtype=np.int64), "cnt": counts})
 
-    parts = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
-    hist = parts.groupby("bin")["cnt"].sum().reindex(range(n_bins), fill_value=0)
-    cum = hist.cumsum().to_numpy()
+    # stream-fold block histograms elementwise: driver memory is one
+    # n_bins vector, not blocks × n_bins partial rows
+    hist = np.zeros(n_bins, dtype=np.int64)
+    for t in ds.map_batches(hist_partial, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        np.add.at(hist, t["bin"].to_numpy(), t["cnt"].to_numpy())
+    cum = np.cumsum(hist)
     pos = _disc_positions(ps, n)
     bins = np.searchsorted(cum, pos + 1)
     return pd.DataFrame(

@@ -194,16 +194,22 @@ def heavy_hitter_terms(sf_dir: str, m: int = HH_CAPACITY) -> pd.DataFrame:
             }
         )
 
-    parts = (
-        docs.map_batches(exact_counts, batch_format="pandas").to_pandas()
-    )  # ≤ (m + 1) short rows per batch
-    n_total = int(parts["total"].sum())
-    agg = (
-        parts[parts["term"] != "\x00"]
-        .groupby("term", as_index=False)["cnt"]
-        .sum()
+    # stream-fold the ≤ (m+1)-row block partials: driver memory stays
+    # O(m) instead of O(blocks × m) (at 10^6 blocks a to_pandas here
+    # would be the only unbounded driver structure in the op)
+    n_total = 0
+    counts: dict[str, int] = {}
+    for t in docs.map_batches(exact_counts, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        n_total += int(t["total"].sum())
+        for term, c in zip(t["term"], t["cnt"]):
+            if term != "\x00":
+                counts[term] = counts.get(term, 0) + int(c)
+    agg = pd.DataFrame(
+        {"term": list(counts), "cnt": pd.Series(list(counts.values()), dtype="int64")}
     )
-    out = agg[agg["cnt"].to_numpy() * m > n_total]
+    out = agg[agg["cnt"].to_numpy() * m > n_total] if len(agg) else agg
     return (
         out.sort_values(["cnt", "term"], ascending=[False, True])
         .reset_index(drop=True)
