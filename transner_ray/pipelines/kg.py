@@ -66,6 +66,7 @@ def sentences_dataset(
     tagger: str = "rule",
     model_path: str | None = None,
     detect_num_gpus: float = 0,
+    repartition_before_detect: int | None = None,
 ) -> rd.Dataset:
     """pages → nested sentence-mention rows (the narrow spine).
 
@@ -82,11 +83,24 @@ def sentences_dataset(
     SCALE.md "GPU on-ramp"). ``gazetteers`` overrides the
     default lookup state (custom religion/city sets — also how the
     SQL-checked gazetteer-mention gate injects a corpus-vocabulary
-    set)."""
+    set).
+
+    ``repartition_before_detect`` inserts an EXPLICIT exchange between
+    the CPU parse stages and the (GPU) detect stage. Ray Data's
+    streaming executor normally makes this unnecessary — blocks hand
+    off dynamically and backpressure matches the parse rate to the
+    detect rate — so the default is None; set it when the parse output
+    is pathologically skewed (a few huge pages → a few huge blocks
+    starving most detector actors) or when detect actors are pinned to
+    a small GPU node group and need more, smaller blocks to stay
+    saturated.
+    """
     gz_ref = ray.put(gazetteers if gazetteers is not None else default_gazetteers())
     base = pages.map_batches(
         extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(split_sentences_batch, batch_format="pyarrow")
+    if repartition_before_detect:
+        base = base.repartition(repartition_before_detect)
     if tagger != "rule":
         # a model tagger in the task path would reload weights on every
         # worker-cache miss; force the amortizing shape
