@@ -260,6 +260,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         ).sort(["subj_id", "obj_id"])
 
+    def kg_partitioned_born_edges(sf_dir: str):
+        """THE resumable job (kg.run_partitioned: per-partition lineage
+        manifests -> phase-2 reduce -> atomic rename) under the
+        driver's SQL gate, over the born carrier corpus written as
+        real parquet shards. Repeat gate invocations RESUME from the
+        manifests (phase 1 skips, phase 2 re-reduces) and must keep
+        producing the oracle rows — the gate thereby also checks
+        resume determinism across rounds. Shards regenerate whenever
+        documents.parquet is newer (stale-cache guard); the input
+        fingerprints then invalidate the manifests and the job
+        re-runs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray.data as rd
+
+        from transner_ray.gazetteers import Gazetteers
+        from transner_ray.pipelines import kg
+        from transner_ray.synth import BORN_CITIES, BORN_PERSONS, born_pages_from_documents
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        base = f"/tmp/transner_ray_born/{tag}"
+        pages_dir = os.path.join(base, "pages")
+        os.makedirs(pages_dir, exist_ok=True)
+        n_shards = 4
+        paths = [
+            os.path.join(pages_dir, f"pages-{i:04d}.parquet") for i in range(n_shards)
+        ]
+        src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+        stale = any(
+            (not os.path.exists(p)) or os.path.getmtime(p) < src_mtime for p in paths
+        )
+        if stale:
+            tbl = born_pages_from_documents(sf_dir)
+            per = (tbl.num_rows + n_shards - 1) // n_shards
+            for i, p in enumerate(paths):
+                pq.write_table(tbl.slice(i * per, per), p)
+
+        phrases = {(p,): "PER" for p in BORN_PERSONS}
+        phrases.update({(c,): "LOC" for c in BORN_CITIES})
+        gz = Gazetteers(
+            cities=frozenset(), religions=frozenset(), phrases=phrases, max_phrase_len=1
+        )
+        res = kg.run_partitioned(
+            paths,
+            os.path.join(base, "ckpt"),
+            num_partitions=n_shards,
+            write_mentions=False,
+            gazetteers=gz,
+        )
+        edges = rd.read_parquet(os.path.join(res["out_dir"], "edges"))
+        return edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "subj_id": t["subj_id"],
+                    "pred": t["pred"],
+                    "obj_id": t["obj_id"],
+                    "weight": t["weight"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).sort(["subj_id", "obj_id"])
+
     def kg_born_entities(sf_dir: str):
         """The canonicalization reduce (kg.entities_dataset: combiner
         partials → partitioned hash-aggregate → canonical surface /
@@ -411,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_regex_mentions": kg_regex_mentions,
         "kg_born_triples": kg_born_triples,
         "kg_born_edges": kg_born_edges,
+        "kg_partitioned_born_edges": kg_partitioned_born_edges,
         "kg_born_entities": kg_born_entities,
         # PageRank's quantized loop SQL-gated over the born graph
         # (unrolled-iteration oracle, bit-exact integer stream);
@@ -449,6 +513,17 @@ def _born_city_sql() -> str:
 
     vals = ", ".join(f"'{c}'" for c in BORN_CITIES)
     return f"list_value({vals})[((3 * doc_id + 1) % {len(BORN_CITIES)}) + 1]"
+
+
+_BORN_EDGES_SQL = f"""
+    SELECT 'per:' || p AS subj_id, 'born_in' AS pred, 'loc:' || c AS obj_id,
+           count(*) AS weight
+    FROM (
+      SELECT {_born_person_sql()} AS p, {_born_city_sql()} AS c FROM documents
+    )
+    GROUP BY 1, 2, 3
+    ORDER BY subj_id, obj_id
+"""
 
 
 def _born_pagerank_sql() -> str:
@@ -578,16 +653,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY url
         """,
-        "kg_born_edges": f"""
-            SELECT 'per:' || p AS subj_id, 'born_in' AS pred, 'loc:' || c AS obj_id,
-                   count(*) AS weight
-            FROM (
-              SELECT {_born_person_sql()} AS p, {_born_city_sql()} AS c FROM documents
-            )
-            GROUP BY 1, 2, 3
-            ORDER BY subj_id, obj_id
-        """,
+        "kg_born_edges": _BORN_EDGES_SQL,
         "born_entity_pagerank": _born_pagerank_sql(),
+        "kg_partitioned_born_edges": _BORN_EDGES_SQL,
         "kg_born_entities": f"""
             WITH m AS (
               SELECT {_born_person_sql()} AS p, {_born_city_sql()} AS c FROM documents

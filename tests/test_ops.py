@@ -1314,3 +1314,17 @@ def test_approx_value_quantiles_block_invariant():
         rd.from_pandas(df).repartition(13), "v"
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kg_partitioned_born_edges_vs_duckdb(con):
+    """The resumable job end-to-end against the born-edge oracle
+    (second call inside the same session exercises the resume path)."""
+    import importlib
+    import shutil
+
+    shutil.rmtree("/tmp/transner_ray_born/sf0.001", ignore_errors=True)
+    e = importlib.import_module("__ray_entry__")
+    q = e.queries()["kg_partitioned_born_edges"]
+    sql = e.oracle_sql()["kg_partitioned_born_edges"]
+    _check(q, sql, con)
+    _check(q, sql, con)  # resumed: phase 1 skips, result identical

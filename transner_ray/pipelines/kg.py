@@ -233,6 +233,7 @@ def run_partitioned(
     detect_batch_size: int = 256,
     write_mentions: bool = True,
     wide_num_blocks: int = 8,
+    gazetteers=None,
 ) -> dict:
     """Resumable KG job. Phase 1 (narrow, per partition): pages files →
     linked triples (+ flat mentions) parquet under ``ckpt_dir`` with a
@@ -287,7 +288,9 @@ def run_partitioned(
         # per-write UUIDs) and silently duplicate every sentence
         for stage in ("triples", "mentions", "sm"):
             store.clean_incomplete(stage, pid)
-        sm = sentences_dataset(read_pages(files), detect_concurrency, detect_batch_size)
+        sm = sentences_dataset(
+            read_pages(files), detect_concurrency, detect_batch_size, gazetteers=gazetteers
+        )
         rows: dict[str, int] = {}
 
         def _rows_written(stage: str) -> int:
