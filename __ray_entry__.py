@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_stats": relational.brand_stats,
         "user_sessions": relational.user_sessions,
         "running_totals": relational.running_totals,
+        "event_deltas": relational.event_deltas,
         "top_parts_per_brand": relational.top_parts_per_brand,
         "customers_without_big_orders": relational.customers_without_big_orders,
         "event_props_stats": relational.event_props_stats,
@@ -443,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": indexing.inverted_index,
         "tfidf_top_terms": indexing.tfidf_top_terms,
         "bm25_topk": indexing.bm25_topk,
+        "bigram_topk": indexing.bigram_topk,
         # ---- exact distributed quantiles (SQL-checked) ----
         "token_count_quantiles": quantiles.token_count_quantiles,
         "event_value_quantiles": quantiles.event_value_quantiles,
@@ -572,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_stats": relational.BRAND_STATS_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "running_totals": relational.RUNNING_TOTALS_SQL,
+        "event_deltas": relational.EVENT_DELTAS_SQL,
         "top_parts_per_brand": relational.TOP_PARTS_PER_BRAND_SQL,
         "customers_without_big_orders": relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "event_props_stats": relational.EVENT_PROPS_STATS_SQL,
@@ -609,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": indexing.INVERTED_INDEX_SQL,
         "tfidf_top_terms": indexing.TFIDF_SQL,
         "bm25_topk": indexing.BM25_TOPK_SQL,
+        "bigram_topk": indexing.BIGRAM_TOPK_SQL,
         "token_count_quantiles": quantiles.TOKEN_COUNT_QUANTILES_SQL,
         "event_value_quantiles": quantiles.EVENT_VALUE_QUANTILES_SQL,
         "minhash_selfdup_pairs": dedup.SELFDUP_PAIRS_SQL,

@@ -1328,3 +1328,15 @@ def test_kg_partitioned_born_edges_vs_duckdb(con):
     sql = e.oracle_sql()["kg_partitioned_born_edges"]
     _check(q, sql, con)
     _check(q, sql, con)  # resumed: phase 1 skips, result identical
+
+
+def test_bigram_topk_vs_duckdb(con):
+    from transner_ray.ops import indexing
+
+    _check(indexing.bigram_topk, indexing.BIGRAM_TOPK_SQL, con)
+
+
+def test_event_deltas_vs_duckdb(con):
+    from transner_ray.ops import relational
+
+    _check(relational.event_deltas, relational.EVENT_DELTAS_SQL, con)

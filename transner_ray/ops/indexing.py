@@ -431,3 +431,60 @@ SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {BM25_TOP_K}
 """
+
+
+# ------------------------------------------------------- bigram stats
+
+BIGRAM_TOP_K = 50
+
+
+def bigram_topk(sf_dir: str, k: int = BIGRAM_TOP_K) -> pd.DataFrame:
+    """Global top-k adjacent word pairs — the n-gram LM statistic the
+    data-quality side of a training pipeline reads (boilerplate and
+    templated text surface as abnormally heavy bigrams). Same shape as
+    ``traindata.vocab_topk`` one level up: per-batch combiner counts,
+    bucketed hash-aggregate (fan-out sized to the exploded pair
+    count), per-bucket top-k, driver merges buckets × k short rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams: dict[str, int] = {}
+        for t in df["text"]:
+            ws = _WORD_RE.findall(t.lower())
+            for a, b in zip(ws, ws[1:]):
+                g = a + " " + b
+                grams[g] = grams.get(g, 0) + 1
+        return pd.DataFrame(
+            {
+                "bigram": pd.Series(list(grams), dtype="object"),
+                "cnt": pd.Series(list(grams.values()), dtype="int64"),
+            }
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("bigram", as_index=False)["cnt"].sum()
+        return tot.sort_values(["cnt", "bigram"], ascending=[False, True]).head(k)
+
+    per_bucket = bucketed_group_reduce(
+        _read_docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        lambda df: hash_str_col(df["bigram"]),
+        reduce,
+        input_rows=_pair_rows(sf_dir),
+    ).to_pandas()  # buckets × k short rows
+    return (
+        per_bucket.sort_values(["cnt", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+BIGRAM_TOPK_SQL = f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+), p AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2 FROM t
+)
+SELECT w1 || ' ' || w2 AS bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY 1
+ORDER BY cnt DESC, bigram ASC
+LIMIT {BIGRAM_TOP_K}
+"""

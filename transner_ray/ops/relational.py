@@ -922,3 +922,58 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+# ---------------------------------------------------- lag deltas
+
+def event_deltas(sf_dir: str) -> rd.Dataset:
+    """Per-user LAG window: each event paired with the user's previous
+    event's value and timestamp gap (seconds). First event per user is
+    dropped (its LAG is NULL) so both engines emit identical row sets.
+    The delta is one subtraction of identical operands on both sides —
+    bit-exact, no quantization needed. Same one-bucketed-shuffle
+    contract as running_totals."""
+    from .agg import bucketed_group_reduce, hash_int_col, scaled_num_buckets
+
+    nb = scaled_num_buckets(_rows(sf_dir, "events"), floor=USER_BUCKETS)
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        grp = g.groupby("user_id", sort=False)
+        prev_value = grp["value"].shift(1)
+        prev_ts = grp["ts"].shift(1)
+        keep = prev_value.notna().to_numpy()
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "prev_value": prev_value.to_numpy(),
+                "value_delta": (g["value"] - prev_value).to_numpy(),
+                "gap_sec": (
+                    (g["ts"] - prev_ts).dt.total_seconds()
+                ).to_numpy(),
+            }
+        )
+        return out[keep]
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        lambda df: hash_int_col(df["user_id"]),
+        lag_bucket,
+        num_buckets=nb,
+    )
+
+
+EVENT_DELTAS_SQL = """
+SELECT event_id, user_id, prev_value,
+       value - prev_value AS value_delta,
+       date_diff('microsecond', prev_ts, ts) / 1000000.0 AS gap_sec
+FROM (
+  SELECT event_id, user_id, ts, value,
+         lag(value) OVER w AS prev_value,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE prev_value IS NOT NULL
+"""
