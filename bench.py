@@ -189,6 +189,10 @@ def bench_queries() -> dict:
     out["tfidf_top_terms"] = _timed(indexing.tfidf_top_terms, SF_DIR)
     out["bm25_topk"] = _timed(indexing.bm25_topk, SF_DIR)
     out["heavy_hitter_terms"] = _timed(sketches.heavy_hitter_terms, SF_DIR)
+    out["bigram_topk"] = _timed(indexing.bigram_topk, SF_DIR)
+    out["event_deltas"] = _timed(relational.event_deltas, SF_DIR)
+    out["running_totals"] = _timed(relational.running_totals, SF_DIR)
+    out["cap_per_group"] = _timed(traindata.cap_per_group, SF_DIR)
     out["token_count_quantiles"] = _timed(quantiles.token_count_quantiles, SF_DIR)
     out["event_value_quantiles"] = _timed(quantiles.event_value_quantiles, SF_DIR)
     return out
