@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": relational.segment_revenue,
         "first_event_per_user_type": relational.first_event_per_user_type,
         "events_hourly": relational.events_hourly,
+        "events_pivot": relational.events_pivot,
         "distinct_flag_status": relational.distinct_flag_status,
         "union_lower_count": relational.union_lower_count,
         "brand_stats": relational.brand_stats,
@@ -569,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": relational.SEGMENT_REVENUE_SQL,
         "first_event_per_user_type": relational.FIRST_EVENT_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "events_pivot": relational.EVENTS_PIVOT_SQL,
         "distinct_flag_status": relational.DISTINCT_FLAG_STATUS_SQL,
         "union_lower_count": relational.UNION_LOWER_COUNT_SQL,
         "brand_stats": relational.BRAND_STATS_SQL,

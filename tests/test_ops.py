@@ -1340,3 +1340,9 @@ def test_event_deltas_vs_duckdb(con):
     from transner_ray.ops import relational
 
     _check(relational.event_deltas, relational.EVENT_DELTAS_SQL, con)
+
+
+def test_events_pivot_vs_duckdb(con):
+    from transner_ray.ops import relational
+
+    _check(relational.events_pivot, relational.EVENTS_PIVOT_SQL, con)

@@ -977,3 +977,45 @@ FROM (
 )
 WHERE prev_value IS NOT NULL
 """
+
+
+# ---------------------------------------------------------- pivot
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> rd.Dataset:
+    """Hourly × event-type PIVOT: one row per hour with a count column
+    per (fixed, enumerated) event type — the conditional-aggregation
+    reshape. Combiner partials per batch (a 5-column one-hot groupby),
+    tiny groupby over hours: the wide schema is FIXED up front
+    (``PIVOT_TYPES``), never discovered from the data — a
+    data-dependent column set would make the schema a function of
+    which blocks arrive first."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"hour": df["ts"].dt.floor("h")})
+        et = df["event_type"].to_numpy()
+        for t in PIVOT_TYPES:
+            out[f"n_{t}"] = (et == t).astype("int64")
+        return out.groupby("hour", as_index=False).sum()
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_TYPES]
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("hour")
+        .aggregate(*aggs)
+        .sort("hour")
+    )
+
+
+EVENTS_PIVOT_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour,
+       {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY hour
+"""
