@@ -463,6 +463,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # provably equal to brute force → shares its SQL oracle); the
         # approximate default stays pytest-gated (test_ann_ivf_recall)
         "ann_ivf": lambda sf: similarity.ivf_topk(sf, nprobe=16),  # SQL-checked
+        # persisted list-partitioned IVF index (build once under /tmp,
+        # nprobe pruning AT THE READ); exact mode shares the brute
+        # force oracle, approximate recall pytest-gated
+        "ann_ivf_index": similarity.ann_ivf_index,
         # distributed Lloyd fit; rows-only (iterative float fit has no
         # SQL), pinned by exact-equality sequential oracle in pytest
         "kmeans_embeddings": similarity.kmeans_embeddings,
@@ -624,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": similarity.brute_force_topk_sql(),
         # exact-mode IVF (nprobe = n_centroids) equals brute force
         "ann_ivf": similarity.brute_force_topk_sql(),
+        "ann_ivf_index": similarity.brute_force_topk_sql(),
         "kg_sentences_docs": r"""
             SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
                    trim(s) AS sentence

@@ -1346,3 +1346,26 @@ def test_events_pivot_vs_duckdb(con):
     from transner_ray.ops import relational
 
     _check(relational.events_pivot, relational.EVENTS_PIVOT_SQL, con)
+
+
+def test_ann_ivf_index_exact_vs_duckdb(con):
+    import shutil
+
+    from transner_ray.ops import similarity
+
+    shutil.rmtree("/tmp/transner_ray_ivf/sf0.001", ignore_errors=True)
+    _check(similarity.ann_ivf_index, similarity.brute_force_topk_sql(), con)
+    _check(similarity.ann_ivf_index, similarity.brute_force_topk_sql(), con)  # warm index reuse
+
+
+def test_ann_ivf_index_partition_pruned_recall():
+    """Approximate mode must read only the probed partitions and still
+    recover most of the exact top-k."""
+    from transner_ray.ops import similarity
+
+    exact = similarity.ann_ivf_index(SF)  # ensures the index exists
+    approx = similarity.ivf_index_topk(
+        "/tmp/transner_ray_ivf/sf0.001", SF, nprobe=4
+    )
+    rec = len(set(exact["vec_id"]) & set(approx["vec_id"])) / len(exact)
+    assert rec >= 0.6
