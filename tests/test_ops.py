@@ -1369,3 +1369,9 @@ def test_ann_ivf_index_partition_pruned_recall():
     )
     rec = len(set(exact["vec_id"]) & set(approx["vec_id"])) / len(exact)
     assert rec >= 0.6
+
+
+def test_quality_checks_vs_duckdb(con):
+    from transner_ray.ops import validate
+
+    _check(validate.quality_checks, validate.QUALITY_CHECKS_SQL, con)
