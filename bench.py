@@ -159,6 +159,7 @@ def bench_queries() -> dict:
         traindata,
     )
     from transner_ray.ops import pagerank as pagerank_mod
+    from transner_ray.ops import validate
 
     out = {}
     out["lineitem_pricing"] = _timed(relational.lineitem_pricing, SF_DIR)
@@ -174,6 +175,7 @@ def bench_queries() -> dict:
     out["ngram_jaccard_dedup"] = _timed(dedup.ngram_jaccard_dedup, SF_DIR)
     out["events_sliding"] = _timed(relational.events_sliding, SF_DIR)
     out["ann_brute_force"] = _timed(similarity.brute_force_topk, SF_DIR)
+    out["ann_ivf_index"] = _timed(similarity.ann_ivf_index, SF_DIR)
     out["kmeans_embeddings"] = _timed(similarity.kmeans_embeddings, SF_DIR)
     out["entity_pagerank"] = _timed(pagerank_mod.entity_pagerank, SF_DIR)
     out["pack_chunks"] = _timed(pack.pack_chunks, SF_DIR)
@@ -195,6 +197,8 @@ def bench_queries() -> dict:
     out["cap_per_group"] = _timed(traindata.cap_per_group, SF_DIR)
     out["token_count_quantiles"] = _timed(quantiles.token_count_quantiles, SF_DIR)
     out["event_value_quantiles"] = _timed(quantiles.event_value_quantiles, SF_DIR)
+    out["events_pivot"] = _timed(relational.events_pivot, SF_DIR)
+    out["quality_checks"] = _timed(validate.quality_checks, SF_DIR)
     return out
 
 
