@@ -603,6 +603,32 @@ def test_selfdup_pair_gates_vs_duckdb(con):
     _check(dedup.embedding_selfdup_pairs, dedup.EMB_SELFDUP_PAIRS_SQL, con)
 
 
+def test_neardup_pair_gates_vs_duckdb(con):
+    """VERDICT r3 #5: the NEAR-MISS path (similarity in [threshold, 1))
+    — planted perturbed dups (one appended word / a sign-preserving
+    vector nudge) whose accept/reject decision is exact Jaccard
+    computable in DuckDB. Unlike the selfdup gates, the estimate
+    prefilter sees values < 1 and the verify sees strict-subset
+    feature overlaps; min doc length 10 words means both accept AND
+    reject branches occur (d/(d+1) ≥ 0.9 needs d ≥ 9)."""
+    from transner_ray.ops import dedup
+
+    _check(dedup.minhash_neardup_pairs, dedup.MINHASH_NEARDUP_PAIRS_SQL, con)
+    _check(dedup.ngram_neardup_pairs, dedup.NGRAM_NEARDUP_PAIRS_SQL, con)
+    _check(dedup.embedding_neardup_pairs, dedup.EMB_NEARDUP_PAIRS_SQL, con)
+
+
+def test_neardup_gate_rejects_short_docs(con):
+    """The near-miss gate's oracle decision is non-trivial: at least
+    one doc must fail d/(d+1) ≥ 0.9 (reject branch live) and most must
+    pass (accept branch live)."""
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    from transner_ray.ops import dedup
+
+    accepted = con.sql(dedup.MINHASH_NEARDUP_PAIRS_SQL).df()
+    assert 0 < len(accepted) < n_docs
+
+
 def test_kg_regex_mentions_vs_duckdb(con):
     """The regex-PII battery through the REAL extract → split → detect
     path over deterministic carrier pages, value-checked against SQL."""
@@ -742,6 +768,34 @@ def test_doc_chain_components_partial_decade(tmp_path):
         want = _norm(con.sql(cc.DOC_CHAIN_COMPONENTS_SQL).df())
         pd.testing.assert_frame_equal(_norm(got), want)
         assert got["node"].max() == (n - 1 if (n - 1) % 10 != 0 else n - 2)
+
+
+def test_doc_chain_components_replicas(tmp_path):
+    """The bench amortization knob (VERDICT r3 #7): replicas=R tiles
+    the path graph across disjoint id ranges — R× the rows, identical
+    component structure per tile (node r·span+d → component
+    r·span + (d - d%10)), same star-round count."""
+    from transner_ray.ops import cc
+
+    n = 25
+    d = tmp_path / "rep"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["x"] * n)}),
+        str(d / "documents.parquet"),
+    )
+    base = cc.doc_chain_components(str(d)).to_pandas()
+    got = cc.doc_chain_components(str(d), replicas=3).to_pandas()
+    assert len(got) == 3 * len(base)
+    span = n  # max_id + 1
+    for r in range(3):
+        tile = got[(got["node"] >= r * span) & (got["node"] < (r + 1) * span)]
+        tile = tile.sort_values("node").reset_index(drop=True)
+        assert (tile["node"].to_numpy() - r * span == base["node"].to_numpy()).all()
+        assert (
+            tile["component"].to_numpy() - r * span == base["component"].to_numpy()
+        ).all()
 
 
 def test_kmeans_init_with_shifted_vec_ids(tmp_path):
@@ -1261,6 +1315,44 @@ def test_mg_fold_superset_guarantee():
     heavy = set(true[true > n / m].index)
     assert heavy <= set(summary), f"missing heavy terms: {heavy - set(summary)}"
     assert len(summary) <= 2 * m  # bounded between shrinks
+
+
+def test_mg_batch_summary_bounded_and_mergeable():
+    """Pass 1 ships MERGEABLE partials: each map task's summary holds
+    ≤ m rows (the driver ingests ≤ m rows per block, never the block's
+    vocabulary), and folding the partials preserves the candidate
+    superset guarantee (no Ray, pure property test)."""
+    from transner_ray.ops.sketches import _mg_batch_summary, _mg_fold
+
+    rng = np.random.default_rng(7)
+    m = 8
+
+    def word(i: int) -> str:  # letter-only: survives the [a-z]+ tokenizer
+        s = ""
+        i += 1
+        while i:
+            s += chr(ord("a") + i % 26)
+            i //= 26
+        return s
+
+    vocab = [word(i) for i in range(150)]
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(5, 120)), p=weights))
+        for _ in range(60)
+    ]
+    stream = [w for t in texts for w in t.split()]
+    true = pd.Series(stream).value_counts()
+
+    summary = {}
+    for i in range(0, len(texts), 7):  # uneven "blocks"
+        part = _mg_batch_summary(texts[i : i + 7], m)
+        assert len(part) <= m, f"partial shipped {len(part)} rows > m={m}"
+        _mg_fold(summary, part["term"].to_numpy(), part["cnt"].to_numpy(), m)
+    n = len(stream)
+    heavy = set(true[true > n / m].index)
+    assert heavy <= set(summary), f"missing heavy terms: {heavy - set(summary)}"
 
 
 def test_cap_per_group_vs_duckdb(con):

@@ -630,16 +630,28 @@ def _minhash_lsh_pairs(
     n_docs: int | None,
     jaccard_threshold: float,
     batch_featurizer,
+    est_margin_sigma: float = 3.0,
 ) -> rd.Dataset:
     """Shared MinHash-LSH core: featurize once (materialized feature
     dataset shared by the banding pass and the verify joins) → band →
-    estimate-prefiltered pairs → exact-Jaccard verify."""
+    estimate-prefiltered pairs → exact-Jaccard verify.
+
+    ``est_margin_sigma``: how far below the threshold the signature
+    estimate may fall before a candidate is pruned. 3σ (default) keeps
+    the verify set tight for production dedup (documented recall
+    bound: an exactly-at-threshold pair is pruned with p ≈ 1.3e-3);
+    the SQL near-miss gates pass 6σ so a planted threshold-exact pair
+    is pruned with p ≈ 1e-9 — the gate then measures the banding +
+    verify machinery, not prefilter tail luck (observed: one J = 0.9
+    pair at sf0.1 hit a 3.6σ estimate dip under the 3σ cut)."""
     npb = _pair_buckets(n_docs)
     feats = docs.map_batches(
         _featurize_batch(batch_featurizer), batch_format="pyarrow"
     ).materialize()
     bands = feats.map_batches(_make_minhash_band_rows(npb), batch_format="pyarrow")
-    pairs = _pairs_from_band_rows(bands, est_jaccard_threshold(jaccard_threshold))
+    pairs = _pairs_from_band_rows(
+        bands, est_jaccard_threshold(jaccard_threshold, est_margin_sigma)
+    )
     return _verify_pairs_jaccard(
         pairs, feats, jaccard_threshold, num_buckets=npb, n_docs=n_docs
     )
@@ -996,7 +1008,7 @@ def _embedding_neardup_over(
     pair_chunk: int,
 ) -> rd.Dataset:
     if n_planes is None:
-        n_planes = int(min(24, max(8, np.ceil(np.log2(max(n_rows, 2) / EMB_TARGET_BUCKET)))))
+        n_planes = _emb_n_planes(n_rows)
     # pbucket fan-out scales with the corpus like the planes do, so one
     # reduce task holds ~DOCS_PER_PAIR_BUCKET normalized vectors, not a
     # fixed 1/64 of them
@@ -1102,5 +1114,200 @@ WITH corpus AS (
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, 1.0 AS cosine
 FROM corpus a JOIN corpus b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------- SQL-checkable NEAR-MISS gates
+#
+# The selfdup gates above plant EXACT copies (jaccard/cosine == 1.0),
+# which never exercises the near-but-not-identical path (similarity in
+# [threshold, 1)): estimate prefilter below 1.0, exact verify of a
+# strict-subset feature overlap, SRP buckets of unequal vectors. These
+# gates plant deterministic PERTURBED copies instead — one novel word
+# appended to the text / a sign-preserving nudge to the vector — so
+# every planted pair is a true near-miss whose accept/reject decision
+# is SQL-derivable (word-shingle / char-gram Jaccard is computable in
+# DuckDB; the embedding nudge guarantees cosine ≥ 1/sqrt(1+δ²) and an
+# unchanged SRP bucket, so the expected pair set is simply every
+# vec_id).
+
+NEARDUP_MARKER = "qqneardupmarker"  # novel word: not in any corpus text
+
+
+def _neardup_docs(sf_dir: str) -> rd.Dataset:
+    """documents ∪ an id-shifted PERTURBED copy (text + ' marker'):
+    every doc gets a planted near-duplicate with word-shingle Jaccard
+    d/(d+1) (d = its distinct-shingle count) and char-gram Jaccard
+    d_g/d_g' — both exactly computable in SQL on the raw text."""
+    import pyarrow.compute as pc
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    shifted = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], pa.scalar(SELFDUP_ID_OFFSET, pa.int64())),
+                "text": pc.binary_join_element_wise(
+                    t["text"], pa.scalar(" " + NEARDUP_MARKER), ""
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return docs.union(shifted)
+
+
+def _keep_planted(id_a: str, id_b: str):
+    """Slice a pair table to the planted (x, x + OFFSET) rows and drop
+    the similarity column (pair MEMBERSHIP is the SQL-checkable fact;
+    the similarity values of exact pairs are gated by the selfdup
+    gates, and a rounded float column would only re-fight Python
+    round-half-even vs SQL round-half-away)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(t[id_b], t[id_a])
+        t = t.filter(pc.equal(gap, pa.scalar(SELFDUP_ID_OFFSET, pa.int64())))
+        return t.select([id_a, id_b])
+
+    return fn
+
+
+def minhash_neardup_pairs(sf_dir: str, jaccard_threshold: float = 0.9) -> rd.Dataset:
+    """The REAL MinHash-LSH pipeline over the perturbed-dup corpus,
+    sliced to the planted pairs (gap == OFFSET ⇒ (a, a + OFFSET) by
+    construction — every other pair kind has a different gap). A
+    planted pair survives iff its EXACT word-3-shingle Jaccard
+    d/(d+1) ≥ 0.9 (min doc length 10 words ⇒ d as low as 8 ⇒ both
+    accept and reject branches occur), which the oracle reproduces
+    verbatim in DuckDB — the first SQL gate on the non-1.0 similarity
+    path (estimate prefilter < 1, strict-subset verify). LSH recall at
+    J = 0.9 is deterministic given the fixed hashes; the theoretical
+    miss rate (1 - J^4)^16 ≈ 4e-8 per pair is validated empirically at
+    all three tiers."""
+    n = _docs_rows(sf_dir)
+    pairs = _minhash_lsh_pairs(
+        _neardup_docs(sf_dir),
+        (n or 0) * 2 or None,
+        jaccard_threshold,
+        _word_shingle_hashes_batch,
+        est_margin_sigma=6.0,
+    )
+    return pairs.map_batches(_keep_planted("doc_a", "doc_b"), batch_format="pyarrow")
+
+
+MINHASH_NEARDUP_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         count(DISTINCT w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+               || ' ' || w[CAST(i AS INTEGER) + 2]) AS d
+  FROM corpus, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+  GROUP BY doc_id
+)
+SELECT doc_id AS doc_a, doc_id + {SELFDUP_ID_OFFSET} AS doc_b
+FROM sh
+WHERE CAST(d AS DOUBLE) / (d + 1) >= 0.9
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_neardup_pairs(sf_dir: str, jaccard_threshold: float = 0.9) -> rd.Dataset:
+    """As minhash_neardup_pairs over the char-4-gram machinery: the
+    appended marker adds ~16 junction/interior grams, so the planted
+    pair's exact gram Jaccard is d/d' with both distinct-gram counts
+    computable in SQL (byte grams == char substr on this ASCII
+    corpus)."""
+    n = _docs_rows(sf_dir)
+    pairs = _minhash_lsh_pairs(
+        _neardup_docs(sf_dir),
+        (n or 0) * 2 or None,
+        jaccard_threshold,
+        _char_ngram_hashes_batch,
+        est_margin_sigma=6.0,
+    )
+    return pairs.map_batches(_keep_planted("doc_a", "doc_b"), batch_format="pyarrow")
+
+
+NGRAM_NEARDUP_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, lower(text) AS lt,
+         lower(text) || ' {NEARDUP_MARKER}' AS ltp
+  FROM documents
+), go AS (
+  SELECT doc_id, count(DISTINCT substr(lt, CAST(i AS INTEGER), 4)) AS d
+  FROM corpus, LATERAL unnest(generate_series(1, length(lt) - 3)) AS t(i)
+  GROUP BY doc_id
+), gp AS (
+  SELECT doc_id, count(DISTINCT substr(ltp, CAST(i AS INTEGER), 4)) AS dp
+  FROM corpus, LATERAL unnest(generate_series(1, length(ltp) - 3)) AS t(i)
+  GROUP BY doc_id
+)
+SELECT go.doc_id AS doc_a, go.doc_id + {SELFDUP_ID_OFFSET} AS doc_b
+FROM go JOIN gp ON go.doc_id = gp.doc_id
+WHERE CAST(go.d AS DOUBLE) / gp.dp >= 0.9
+ORDER BY doc_a, doc_b
+"""
+
+
+def _emb_n_planes(n_rows: int) -> int:
+    """SRP plane count for a corpus of n_rows vectors (shared by
+    _embedding_neardup_over and the perturbation gate below, which
+    must agree on the plane matrix)."""
+    return int(
+        min(24, max(8, np.ceil(np.log2(max(n_rows, 2) / EMB_TARGET_BUCKET))))
+    )
+
+
+def embedding_neardup_pairs(sf_dir: str, cos_threshold: float = 0.9) -> rd.Dataset:
+    """The REAL SRP-LSH pipeline over embeddings ∪ a PERTURBED copy,
+    sliced to the planted pairs. The perturbation nudges the
+    normalized vector along e0 by δ chosen per vector as half its
+    minimal SRP margin (δ ≤ 0.2): the SRP bucket is PRESERVED by
+    construction (single-probe recall = 1 for planted pairs, unlike a
+    random nudge which loses ~sin-angle per plane), while
+    cosine ≥ 1/sqrt(1+δ²) ≥ 0.980 > threshold and < 1 whenever δ > 0 —
+    a true near-miss through the exact-verify matmul. Expected pair
+    set = every vec_id, trivially SQL-derivable. δ's sign-safety
+    margin (factor 2) dwarfs float error unless a vector's plane
+    margin is denormal-tiny (validated absent at all tiers)."""
+    import pyarrow.parquet as pq
+
+    from .io import read_parquet_sized
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    emb = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    n_planes = _emb_n_planes(n_rows * 2)
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy())
+        norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        # the SAME planes the pipeline regenerates per task (seed 7)
+        planes = np.random.default_rng(7).standard_normal((vecs.shape[1], n_planes))
+        dots = norm @ planes
+        delta = np.minimum(
+            0.2, 0.5 * (np.abs(dots) / np.abs(planes[0])[None, :]).min(axis=1)
+        )
+        pert = norm.copy()
+        pert[:, 0] += delta.astype(norm.dtype)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy("int64") + SELFDUP_ID_OFFSET,
+                "embedding": list(pert.astype(vecs.dtype)),
+            }
+        )
+
+    shifted = emb.map_batches(perturb, batch_format="pandas")
+    pairs = _embedding_neardup_over(
+        emb.union(shifted), n_rows * 2, cos_threshold, None, 2048
+    )
+    return pairs.map_batches(_keep_planted("vec_a", "vec_b"), batch_format="pyarrow")
+
+
+EMB_NEARDUP_PAIRS_SQL = f"""
+SELECT vec_id AS vec_a, vec_id + {SELFDUP_ID_OFFSET} AS vec_b
+FROM embeddings
 ORDER BY vec_a, vec_b
 """
