@@ -57,3 +57,51 @@ def test_detector_stage_opt_in():
     on = MentionDetector(apply_dates=True)(batch)
     types_on = {m["type"] for m in on.column("mentions")[0].as_py()}
     assert types_on & {"TIME", "T_OPENING"}
+
+
+def test_dateparser_hook_import_gate():
+    """Without dateparser the factory raises NotImplementedError; with
+    it installed the returned hook is the reference path (torch-node
+    only). Control flow AROUND the hook is identical either way —
+    pinned by the golden tests above through a dateparser-shaped fake
+    below."""
+    import pytest
+
+    from transner_ray.dates import make_dateparser_search_dates
+
+    try:
+        import dateparser  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="dateparser"):
+            make_dateparser_search_dates()
+    else:  # pragma: no cover - dateparser nodes only
+        hook = make_dateparser_search_dates()
+        assert callable(hook)
+
+
+def test_fasttext_lid_import_gate():
+    import pytest
+
+    from transner_ray.ops.textstats import FastTextLanguageID
+
+    try:
+        import fasttext  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="fasttext"):
+            FastTextLanguageID()
+    else:  # pragma: no cover - fasttext nodes only
+        with pytest.raises(FileNotFoundError):
+            FastTextLanguageID("/nonexistent/lid.176.bin")
+
+
+def test_find_date_entities_accepts_dateparser_tuples():
+    """dateparser returns (matched_text, datetime) tuples — the second
+    element must be ignored by the control-flow mirror (the regex
+    stand-in returns (text, None))."""
+    from transner_ray.dates import find_date_entities
+
+    def fake_search(sentence, lang=None):
+        return [("12/05/2021", object())]
+
+    out = find_date_entities("open 12/05/2021 onward", [], search_dates=fake_search)
+    assert [(m["value"], m["offset"]) for m in out] == [("12/05/2021", 5)]

@@ -35,3 +35,25 @@ def test_realigned_stream_feeds_decode():
     wl, scores = realign_wordpieces(words, word_ids, wp_labels, wp_scores)
     ents = textops.bio_decode(s, wl, scores)
     assert [(e["type"], e["value"]) for e in ents] == [("PERSON", "mario rossi")]
+
+
+def test_bert_tagger_import_gate():
+    """Without torch the constructor must raise NotImplementedError
+    (the complete implementation sits BEHIND the import gate); with
+    torch present the gate must not fire — construction proceeds to
+    real weight loading (exercised only on torch nodes)."""
+    import pytest
+
+    from transner_ray.tagger import BIO_LABELS, BertTagger
+
+    assert len(BIO_LABELS) == 13 and BIO_LABELS[0] == "O"  # ner.py:24-38
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="torch"):
+            BertTagger("/nonexistent/model")
+    else:  # pragma: no cover - torch nodes only
+        with pytest.raises(Exception) as exc_info:
+            BertTagger("/nonexistent/model")
+        assert not isinstance(exc_info.value, NotImplementedError)

@@ -12,9 +12,10 @@ The reference uses ``dateparser.search_dates`` with a fasttext-detected
 language; neither library is in this container, so the default
 ``search_dates`` hook is a deterministic regex matcher for the
 date shapes the corpus contains (dd/mm/yyyy, yyyy-mm-dd, d Month yyyy
-in en/it/nl). Pass a real ``dateparser``-backed callable to restore
-reference behavior bit-for-bit; the surrounding control flow is
-identical either way.
+in en/it/nl). ``make_dateparser_search_dates`` below is the complete
+import-gated reference hook (dateparser + fasttext LID) — with the
+libs installed it restores reference behavior bit-for-bit; the
+surrounding control flow is identical either way.
 """
 
 from __future__ import annotations
@@ -41,6 +42,46 @@ def regex_search_dates(sentence: str, lang: str | None = None) -> list[tuple[str
     """Deterministic stand-in for ``dateparser.search_dates``: returns
     [(matched_text, None), ...] in positional order."""
     return [(m.group(1), None) for m in _DATE_RE.finditer(sentence)]
+
+
+def make_dateparser_search_dates(lid_model=None) -> Callable:
+    """The REFERENCE-exact ``search_dates`` hook (ner.py:274-281),
+    complete behind an import gate: fasttext LID over the
+    alnum-cleaned sentence (``re.sub(r'[^a-zA-Z0-9 ]', '', s)``,
+    ner.py:276-278) picks the language, then
+    ``dateparser.search_dates(sentence, languages=[lang])`` finds the
+    candidates; a ValueError from either step yields NO dates for that
+    sentence (the reference's ``continue``, ner.py:280-281).
+
+    ``lid_model`` is a loaded fasttext model (see
+    ``ops.textstats.FastTextLanguageID``); None skips detection and
+    passes the caller's ``lang`` (or dateparser's auto-detection)
+    through. With dateparser + fasttext installed,
+    ``find_date_entities(s, ents, search_dates=make_dateparser_search_dates(lid))``
+    runs the reference date path bit-for-bit (the control flow around
+    the hook is already the ner.py:282-307 mirror)."""
+    try:
+        from dateparser.search import search_dates as _dp_search
+    except ImportError as exc:
+        raise NotImplementedError(
+            "make_dateparser_search_dates needs the dateparser package "
+            "(not in this sandbox). The code behind this gate is complete; "
+            "use the default regex_search_dates hook instead."
+        ) from exc
+
+    def hook(sentence: str, lang: str | None = None) -> list[tuple[str, object]]:
+        use_lang = lang
+        if use_lang is None and lid_model is not None:
+            cleaned = re.sub(r"[^a-zA-Z0-9 ]", "", sentence)
+            labels, _probs = lid_model.predict(cleaned, k=1)
+            if labels:
+                use_lang = re.sub("__label__", "", labels[0])
+        try:
+            return _dp_search(sentence, languages=[use_lang] if use_lang else None) or []
+        except ValueError:
+            return []  # reference: continue (ner.py:280-281)
+
+    return hook
 
 
 def find_date_entities(
