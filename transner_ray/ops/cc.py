@@ -30,7 +30,9 @@ by many groups (cliques) are culled one shuffle later instead of
 compounding; a standalone distinct pass per round was measured 1.5×
 slower end-to-end on this dispatch-bound host for zero extra recall.
 Convergence is detected by an order-insensitive (count,
-xor-of-hashes) signature over consecutive small-star outputs:
+sum-of-hashes mod 2^64) signature over consecutive small-star outputs
+(NOT xor — a multiset's repeated elements self-cancel under xor, see
+``_signature``):
 multiset-equal outputs mean the next round's input equals the last
 round's, so the iteration is constant from there on — and the only
 fixpoints of the star operators are unions of stars (SoCC'14,
@@ -324,15 +326,26 @@ def connected_components(
 
 def _parquet_col_max(path: str, col: str) -> int:
     """Column max from parquet row-group FOOTER statistics — no data
-    read (the parquet_num_rows pattern)."""
+    read (the parquet_num_rows pattern). Files written without column
+    statistics fall back to a single-column scan (degrade gracefully,
+    like parquet_num_rows, instead of AttributeError on a None
+    statistics object)."""
     import pyarrow.parquet as pq
 
     f = pq.ParquetFile(path)
     idx = f.schema_arrow.get_field_index(col)
-    return max(
-        f.metadata.row_group(i).column(idx).statistics.max
-        for i in range(f.metadata.num_row_groups)
-    )
+    maxes = []
+    for i in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(i).column(idx).statistics
+        if st is None or not st.has_min_max:
+            maxes = None
+            break
+        maxes.append(st.max)
+    if maxes:
+        return max(maxes)
+    import pyarrow.compute as pc
+
+    return pc.max(f.read(columns=[col]).column(col)).as_py()
 
 
 # ------------------------------------------------------ query entries
@@ -351,18 +364,27 @@ def neardup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
     ).sort("node")
 
 
-def doc_chain_components(sf_dir: str) -> rd.Dataset:
+def doc_chain_components(sf_dir: str, replicas: int = 1) -> rd.Dataset:
     """SQL-checked gate for the star-contraction machinery: a
     deterministic PATH graph over doc_id — edges (d, d+1) within each
     decade — whose components are the decades (component =
     d - d % 10). Paths are the adversarial case for star contraction
     (maximum diameter per edge count): the gate forces multiple
     large/small-star rounds before the fixpoint, and the closed form
-    keeps the oracle recursion-free."""
+    keeps the oracle recursion-free.
+
+    ``replicas`` (bench knob, VERDICT r3 #7 — the SQL gate stays at 1):
+    tiles the path graph R times across disjoint id ranges
+    (node = r·span + d). Diameter — hence the star-round COUNT — is
+    unchanged, but every round carries R× the rows, so per-round
+    compute dominates this host's fixed per-round dispatch and the
+    bench row measures the engine, not Ray's scheduler floor
+    (BASELINE.md "CC bench amortization")."""
     from .dedup import _docs_rows, _read_docs
 
     docs = _read_docs(sf_dir, ["doc_id"])
     max_id = _parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id")
+    span = max_id + 1
 
     def chain_edges(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -373,6 +395,9 @@ def doc_chain_components(sf_dir: str) -> rd.Dataset:
         # true for the synthetic corpus and asserted by the gate.
         keep = (d % 10 != 9) & (d < max_id)
         d = d[keep]
+        if replicas > 1:
+            offs = np.arange(replicas, dtype=np.int64) * np.int64(span)
+            d = (d[None, :] + offs[:, None]).ravel()
         return pa.table(
             {
                 "doc_a": pa.array(d, pa.int64()),
@@ -381,9 +406,12 @@ def doc_chain_components(sf_dir: str) -> rd.Dataset:
         )
 
     pairs = docs.map_batches(chain_edges, batch_format="pyarrow")
+    n_docs = _docs_rows(sf_dir)
     # force_distributed: driving the star rounds IS this gate's purpose
     return connected_components(
-        pairs, n_pairs=_docs_rows(sf_dir), force_distributed=True
+        pairs,
+        n_pairs=(n_docs or 0) * replicas or None,
+        force_distributed=True,
     ).sort("node")
 
 

@@ -128,18 +128,44 @@ def _mg_fold(summary: dict[str, int], terms, counts, m: int) -> None:
             summary[t] -= cut
 
 
+def _mg_batch_summary(texts, m: int) -> pd.DataFrame:
+    """One map task's MG partial: exact value_counts of the batch
+    folded into a FRESH capacity-m summary — ≤ m (term, residual-count)
+    rows leave the task. MG summaries are mergeable (Agarwal et al.,
+    PODS'12): the driver folding these partials is equivalent (same
+    superset guarantee, error ≤ N/(m+1)) to folding the raw counts,
+    but ships ≤ m rows per block instead of the block's whole
+    vocabulary — the driver stops being a serial bandwidth bottleneck
+    at corpus scale."""
+    from .indexing import _WORD_RE
+
+    words: list[str] = []
+    for t in texts:
+        words.extend(_WORD_RE.findall(t.lower()))
+    s = pd.Series(words, dtype="object").value_counts()
+    summ: dict[str, int] = {}
+    _mg_fold(summ, s.index.to_numpy(), s.to_numpy(), m)
+    terms = sorted(summ)
+    return pd.DataFrame(
+        {
+            "term": pd.Series(terms, dtype="object"),
+            "cnt": pd.Series([summ[t] for t in terms], dtype="int64"),
+        }
+    )
+
+
 def heavy_hitter_terms(sf_dir: str, m: int = HH_CAPACITY) -> pd.DataFrame:
     """EXACT frequent-items: every term whose corpus count strictly
     exceeds N_tokens/m, with its exact count — found WITHOUT shuffling
     token counts (contrast ``traindata.vocab_topk``, which exchanges
     the full per-batch vocabulary):
 
-    1. sketch pass — per-batch exact counts fold into one driver-side
-       Misra-Gries summary of ≤ m counters, streamed via iter_batches
-       (the per-batch partial is its value_counts — short rows; the
-       driver never holds more than m + batch-vocab counters). The MG
-       guarantee makes the surviving ≤ m terms a SUPERSET of every
-       term with count > N/m.
+    1. sketch pass — each map task folds its batch into a capacity-m
+       Misra-Gries partial (``_mg_batch_summary``, ≤ m rows per block
+       to the driver), and the driver merges the partials into one
+       summary of ≤ m counters. Mergeability (Agarwal et al. PODS'12)
+       keeps the MG guarantee: the surviving ≤ m terms are a SUPERSET
+       of every term with count > N/m.
     2. verify pass — the ≤ m candidates broadcast into a second
        streaming aggregate that produces their EXACT counts plus the
        total token count; filter ``cnt * m > N``.
@@ -150,15 +176,7 @@ def heavy_hitter_terms(sf_dir: str, m: int = HH_CAPACITY) -> pd.DataFrame:
     docs = _read_docs(sf_dir, ["text"])
 
     def batch_counts(df: pd.DataFrame) -> pd.DataFrame:
-        from .indexing import _WORD_RE
-
-        words: list[str] = []
-        for t in df["text"]:
-            words.extend(_WORD_RE.findall(t.lower()))
-        s = pd.Series(words, dtype="object").value_counts()
-        return pd.DataFrame(
-            {"term": s.index.to_numpy(), "cnt": s.to_numpy().astype("int64")}
-        )
+        return _mg_batch_summary(df["text"], m)
 
     summary: dict[str, int] = {}
     for t in docs.map_batches(batch_counts, batch_format="pandas").iter_batches(
