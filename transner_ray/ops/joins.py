@@ -64,19 +64,60 @@ def asof_join(
     shuffle on ``hash(key) % num_buckets``, and a single
     ``pd.merge_asof`` (sorted C merge, not a cross product) per
     bucket. Output columns: ``by``, ``t`` (the left event time), then
-    ``left_cols`` and ``right_cols`` — ALL payload columns ride the
-    union as float64 (null-able on the other side); callers restore
-    integer dtypes. ``tiebreak`` must be one of ``right_cols``.
+    ``left_cols`` and ``right_cols``. Integer payload columns ride the
+    union as NULLABLE Int64 (never through float64 — values above
+    2**53 would silently lose bits); floats stay float64; other dtypes
+    pass through unchanged. ``tiebreak`` must be one of
+    ``right_cols``. Matched rows are selected by an explicit
+    ``_m`` indicator column, NOT by null-ness of ``tiebreak`` — a
+    matched right row whose tiebreak value is legitimately NULL is
+    kept.
     """
     nb = num_buckets or scaled_num_buckets(input_rows)
 
-    def make_tagger(by: str, on: str, mine: list[str], theirs: list[str], side: int):
+    # payload dtypes from the Arrow schemas (metadata-only on parquet
+    # reads): the union needs BOTH taggers to emit identical dtypes
+    # for every column, including the all-null other-side columns.
+    def _ride_dtype(schema, col: str) -> str | None:
+        # ray Schema wraps either an Arrow schema or a PandasBlockSchema
+        # (pandas-born datasets) — .names/.types covers both
+        import pyarrow as pa
+
+        t = schema.types[schema.names.index(col)]
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t):
+                return "Int64"
+            if pa.types.is_floating(t):
+                return "float64"
+            return None  # keep as-is (strings/datetimes); NA rides object
+        try:
+            dt = np.dtype(t)
+        except TypeError:
+            return None
+        if np.issubdtype(dt, np.integer):
+            return "Int64"
+        if np.issubdtype(dt, np.floating):
+            return "float64"
+        return None
+
+    ldt = {c: _ride_dtype(left.schema(), c) for c in left_cols}
+    rdt = {c: _ride_dtype(right.schema(), c) for c in right_cols}
+
+    def make_tagger(
+        by: str, on: str, mine: list[str], theirs: list[str], side: int,
+        mine_dt: dict, theirs_dt: dict,
+    ):
         def tag(df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame({"by": df[by].astype("int64"), "t": df[on]})
             for c in mine:
-                out[c] = df[c].astype("float64")
+                out[c] = df[c].astype(mine_dt[c]) if mine_dt[c] else df[c]
             for c in theirs:
-                out[c] = np.float64(np.nan)
+                dt = theirs_dt[c]
+                out[c] = pd.Series(
+                    pd.NA if dt == "Int64" else np.nan,
+                    index=df.index,
+                    dtype=dt or "object",
+                )
             out["_side"] = np.int8(side)
             return out
 
@@ -96,14 +137,19 @@ def asof_join(
         # ascending tiebreak within equal t: merge_asof takes the LAST
         # qualifying row, i.e. the max tiebreak — deterministic
         rhs = rhs.sort_values(["t", tiebreak], kind="stable")
+        # explicit match indicator: rows without an as-of match have
+        # _m = NA after the merge (a matched row always has _m = 1,
+        # even if its tiebreak value is NULL)
+        rhs = rhs.assign(_m=np.int8(1))
         out = pd.merge_asof(lhs, rhs, on="t", by="by", direction="backward")
-        return out.dropna(subset=[tiebreak])
+        return out[out["_m"].notna()].drop(columns=["_m"])
 
     u = left.map_batches(
-        make_tagger(left_by, left_on, left_cols, right_cols, 0), batch_format="pandas"
+        make_tagger(left_by, left_on, left_cols, right_cols, 0, ldt, rdt),
+        batch_format="pandas",
     ).union(
         right.map_batches(
-            make_tagger(right_by, right_on, right_cols, left_cols, 1),
+            make_tagger(right_by, right_on, right_cols, left_cols, 1, rdt, ldt),
             batch_format="pandas",
         )
     )

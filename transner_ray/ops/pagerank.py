@@ -340,7 +340,14 @@ def entity_pagerank_over(
     """PageRank over any (subj_id, obj_id, weight) entity edge list."""
 
     # entity_id (string) → stable int64 node id; keep the mapping as a
-    # broadcast-scale side table for the final join-back
+    # broadcast-scale side table for the final join-back. The FULL
+    # 64-bit hash is kept (uint64 bit pattern reinterpreted as int64,
+    # so node ids can be negative — every downstream consumer either
+    # tags rows by `kind` or re-hashes through uint64): an np.abs here
+    # would halve the hash space (x and -x collide, abs(INT64_MIN)
+    # stays negative) and at 1e9 entities the birthday bound makes a
+    # silent rank merge ~10% likely. Residual full-width collisions
+    # are DETECTED in join_bucket below and raise instead of deduping.
     def to_int_edges(t: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -350,8 +357,8 @@ def entity_pagerank_over(
         ho = pd.util.hash_pandas_object(o, index=False).to_numpy().astype(np.int64)
         return pa.table(
             {
-                "src": pa.array(np.abs(hs)),
-                "dst": pa.array(np.abs(ho)),
+                "src": pa.array(hs),
+                "dst": pa.array(ho),
                 "weight": t.column("weight"),
                 "subj_id": t.column("subj_id"),
                 "obj_id": t.column("obj_id"),
@@ -385,7 +392,9 @@ def entity_pagerank_over(
                 "entity_id": t.column("subj_id").to_pylist()
                 + t.column("obj_id").to_pylist(),
             }
-        ).drop_duplicates("node")
+        ).drop_duplicates()  # distinct (node, entity_id) PAIRS — a
+        # plain drop_duplicates("node") would mask a hash collision
+        # inside the batch; join_bucket checks across batches too
         return pa.table(
             {
                 "node": pa.array(df["node"].to_numpy(), pa.int64()),
@@ -417,7 +426,20 @@ def entity_pagerank_over(
         return df
 
     def join_bucket(g) -> pa.Table:
-        m = g[g["entity_id"].notna()][["node", "entity_id"]].drop_duplicates("node")
+        m = g[g["entity_id"].notna()][["node", "entity_id"]].drop_duplicates()
+        # collision detection: two distinct entity_ids hashing to one
+        # node would have been silently MERGED by the rank loop — fail
+        # loudly (all copies of a node land in this bucket, so the
+        # check is complete)
+        dup = m["node"].duplicated()
+        if dup.any():
+            bad = m[m["node"].isin(m.loc[dup, "node"])]
+            raise ValueError(
+                "entity_id hash collision on int64 node id(s): "
+                + ", ".join(
+                    f"{n}->{sorted(sub['entity_id'])}" for n, sub in bad.groupby("node")
+                )
+            )
         r = g[g["entity_id"].isna()][["node", "rank"]]
         out = r.merge(m, on="node")
         return pa.table(

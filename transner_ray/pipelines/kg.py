@@ -276,9 +276,14 @@ def run_partitioned(
             # and a REGENERATED file at the same path (size/mtime
             # fingerprint mismatch) must invalidate too
             m = store.load_manifest(pid)
-            if m.get("input_files") == files and m.get(
-                "input_fingerprint"
-            ) == fingerprint_files(files):
+            # legacy-accept: manifests written before the fingerprint
+            # field existed carry none — trust the file listing alone
+            # rather than silently recomputing every pre-upgrade
+            # partition on the first rerun after the format change
+            fp = m.get("input_fingerprint")
+            if m.get("input_files") == files and (
+                not fp or fp == fingerprint_files(files)
+            ):
                 skipped.append(pid)
                 continue
             os.remove(store.manifest_path(pid))  # stale → re-run below
