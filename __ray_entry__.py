@@ -261,6 +261,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         ).sort(["subj_id", "obj_id"])
 
+    def kg_born_edges_emblink(sf_dir: str):
+        """kg_born_edges through the EMBEDDING linker (alias table +
+        char-3-gram feature-hash cosine fallback) instead of the alias
+        broadcast: every born surface is absent from the alias table
+        and either registry-identical or below the 0.80 cosine
+        threshold against every registry entry (pinned by
+        test_born_surfaces_self_link), so the linker must resolve each
+        surface to ITSELF and the edge table equals the alias-mode
+        oracle — the first SQL gate on the embedding-linking path."""
+        import pyarrow as pa
+
+        from transner_ray.linking import make_embedding_link_batch
+        from transner_ray.pipelines import kg
+
+        linked = _born_spine(sf_dir).map_batches(
+            make_embedding_link_batch(), batch_format="pyarrow"
+        )
+        edges = kg.edges_dataset(linked, settle=True)
+        return edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "subj_id": t["subj_id"],
+                    "pred": t["pred"],
+                    "obj_id": t["obj_id"],
+                    "weight": t["weight"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).sort(["subj_id", "obj_id"])
+
     def kg_partitioned_born_edges(sf_dir: str):
         """THE resumable job (kg.run_partitioned: per-partition lineage
         manifests -> phase-2 reduce -> atomic rename) under the
@@ -390,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_regex_mentions": kg_regex_mentions,
         "kg_born_triples": kg_born_triples,
         "kg_born_edges": kg_born_edges,
+        "kg_born_edges_emblink": kg_born_edges_emblink,
         "kg_partitioned_born_edges": kg_partitioned_born_edges,
         "kg_born_entities": kg_born_entities,
         # PageRank's quantized loop SQL-gated over the born graph
@@ -406,12 +437,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sentences": _kg_sentences_only,
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
-        "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),
-        "kg_edges": lambda sf: kg.edges_dataset(_kg_linked(sf), settle=True),
-        # embedding-linker variant (alias + char-ngram embedding fallback)
-        "kg_edges_emblink": lambda sf: kg.edges_dataset(
-            kg.linked_triples_dataset(_kg_spine(sf), link_mode="embedding"), settle=True
-        ),
+        # (kg_entities / kg_edges / kg_edges_emblink — the rows-only
+        # synthetic-pages variants of machinery that IS SQL-gated via
+        # kg_born_entities / kg_born_edges / kg_born_edges_emblink —
+        # sit past position 50 to keep flagship SQL gates in-window)
         # ---- IR indexing + retrieval (all SQL-checked) ----
         "inverted_index": indexing.inverted_index,
         "tfidf_top_terms": indexing.tfidf_top_terms,
@@ -448,8 +477,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Lloyd fit; rows-only (iterative float fit has no
         # SQL), pinned by exact-equality sequential oracle in pytest
         "kmeans_embeddings": similarity.kmeans_embeddings,
-        # ---- multimodal plumbing (SQL-checked metadata) ----
+        # ---- multimodal plumbing (all SQL-checked) ----
         "media_metadata": multimodal.media_metadata,
+        # feature-extract stage (vectorized numpy byte stats — the
+        # embedding-model compute shape) and video frame sampling
+        # (every 4th frame of the fake container as its own row)
+        "media_features": multimodal.media_features,
+        "frame_sample": multimodal.frame_sample,
         # ---- dedup suite ----
         "exact_dedup": dedup.exact_dedup,                 # SQL-checked
         "minhash_dedup": dedup.minhash_dedup,             # rows-only (sketch)
@@ -488,6 +522,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": traindata.epoch_shuffle,
         "decontaminate": traindata.decontaminate,
         "vocab_topk": traindata.vocab_topk,
+        "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),
+        "kg_edges": lambda sf: kg.edges_dataset(_kg_linked(sf), settle=True),
+        # embedding-linker variant (alias + char-ngram embedding fallback)
+        "kg_edges_emblink": lambda sf: kg.edges_dataset(
+            kg.linked_triples_dataset(_kg_spine(sf), link_mode="embedding"), settle=True
+        ),
         "stratified_sample": traindata.stratified_sample,
         "cap_per_group": traindata.cap_per_group,
         # ---- text analysis (SQL-checked) ----
@@ -687,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY url
         """,
         "kg_born_edges": _BORN_EDGES_SQL,
+        "kg_born_edges_emblink": _BORN_EDGES_SQL,
         "born_entity_pagerank": _born_pagerank_sql(),
         "kg_partitioned_born_edges": _BORN_EDGES_SQL,
         "kg_born_entities": f"""
@@ -702,6 +743,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY entity_id
         """,
         "media_metadata": multimodal.MEDIA_METADATA_SQL,
+        "media_features": multimodal.MEDIA_FEATURES_SQL,
+        "frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "kg_extract_text": """
             SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
                    text, lang

@@ -71,3 +71,31 @@ def test_embedding_mode_engine_equals_oracle(pages_small, oracle_small):
     alias_ids = {t["subj_id"] for t in oracle_small["triples"]}
     emb_ids = {t["subj_id"] for t in want["triples"]}
     assert len(emb_ids) <= len(alias_ids)
+
+
+def test_born_surfaces_self_link():
+    """Guard for the kg_born_edges_emblink SQL gate: every born-corpus
+    surface must be absent from the alias table and must NOT
+    false-link into the canonical registry (cosine < threshold, or
+    registry-identical) — i.e. the embedding linker resolves each to
+    ITSELF, making the emblink edge table equal the alias-mode oracle.
+    A lexicon change that pushes an alien cosine over 0.80 breaks the
+    gate here first, not at the driver."""
+    import numpy as np
+
+    from transner_ray.kg import norm_surface
+    from transner_ray.linking import EmbeddingLinker, surface_embedding
+    from transner_ray.synth import BORN_CITIES, BORN_PERSONS
+
+    lk = EmbeddingLinker()
+    for ns, mtype, words in (
+        ("per", "PERSON", BORN_PERSONS),
+        ("loc", "LOCATION", BORN_CITIES),
+    ):
+        for w in words:
+            n = norm_surface(w)
+            assert n not in lk.aliases
+            assert lk.link_one(w, mtype) == f"{ns}:{n}"
+            if n not in lk.registry_sets[ns]:
+                sims = lk.matrices[ns] @ surface_embedding(n)
+                assert float(np.max(sims)) < lk.cos_threshold

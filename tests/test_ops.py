@@ -101,6 +101,51 @@ def test_media_metadata_vs_duckdb(con):
     _check(multimodal.media_metadata, multimodal.MEDIA_METADATA_SQL, con)
 
 
+def test_media_features_vs_duckdb(con):
+    """Feature-extract stage: vectorized byte stats over the payload
+    body must equal the DuckDB char-stat mirror (ASCII corpus)."""
+    from transner_ray.ops import multimodal
+
+    _check(multimodal.media_features, multimodal.MEDIA_FEATURES_SQL, con)
+
+
+def test_frame_sample_vs_duckdb(con):
+    """Video frame sampling: every 4th frame of the fake container,
+    frame byte counts closed-form in SQL."""
+    from transner_ray.ops import multimodal
+
+    _check(multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL, con)
+
+
+def test_fake_video_roundtrip():
+    """Container codec sanity (no Ray): frames survive the walk, and
+    frame i holds exactly the bytes at positions ≡ i mod n."""
+    import struct
+
+    from transner_ray.ops import multimodal
+
+    body = b"the quick brown fox jumps over the lazy dog once"
+    n = 8 + 3 % 9  # doc_id = 3 → 11 frames
+    frames = [body[k::n] for k in range(n)]
+    blob = multimodal.encode_fake_video(frames)
+    assert blob[: len(multimodal.VID_MAGIC)] == multimodal.VID_MAGIC
+    (nf,) = struct.unpack(
+        "<H", blob[len(multimodal.VID_MAGIC) : multimodal.VID_HEADER_LEN]
+    )
+    assert nf == n
+    pos = multimodal.VID_HEADER_LEN
+    out = []
+    for _ in range(nf):
+        (ln,) = struct.unpack("<I", blob[pos : pos + 4])
+        out.append(blob[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    assert out == frames
+    assert b"".join(
+        bytes([body[i]]) for i in range(len(body))
+    ) == body  # positions ≡ k mod n partition the body
+    assert sum(len(f) for f in frames) == len(body)
+
+
 # ------------------------------------------------- planted near-dups
 
 @pytest.fixture(scope="module")

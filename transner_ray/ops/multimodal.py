@@ -132,3 +132,171 @@ SELECT doc_id AS media_id,
        11 + strlen(text) AS n_bytes
 FROM documents
 """
+
+
+# ----------------------------------------- feature extraction (image)
+
+
+class MediaFeaturizer:
+    """Actor-pool feature-extract stage: vectorized numpy pass over the
+    payload BODY bytes (the real compute shape of an embedding/feature
+    model stage — one array op per batch, no per-byte Python). Output
+    features are integer byte statistics so the stage is SQL-checkable
+    over the ASCII source text (byte == char)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, nb, nd, sb, mx = [], [], [], [], []
+        for mid, blob in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            body = np.frombuffer(blob, dtype=np.uint8)[HEADER_LEN:]
+            ids.append(mid)
+            nb.append(int(body.size))
+            nd.append(int(np.unique(body).size))
+            sb.append(int(body.sum()))
+            mx.append(int(body.max()) if body.size else 0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "n_distinct_bytes": pa.array(nd, pa.int64()),
+                "sum_bytes": pa.array(sb, pa.int64()),
+                "max_byte": pa.array(mx, pa.int64()),
+            }
+        )
+
+
+def media_features(sf_dir: str) -> rd.Dataset:
+    """media_from_documents → MediaFeaturizer actor pool (small batches
+    — wide binary rows)."""
+    return media_from_documents(sf_dir).map_batches(
+        MediaFeaturizer, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
+# DuckDB mirror: payload body == utf-8 text bytes, corpus is ASCII so
+# byte stats == char stats ((?s). matches newlines too)
+MEDIA_FEATURES_SQL = """
+WITH ch AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '(?s).'), c -> ascii(c)) AS codes
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(len(codes) AS BIGINT) AS n_bytes,
+       CAST(len(list_distinct(codes)) AS BIGINT) AS n_distinct_bytes,
+       CAST(list_sum(codes) AS BIGINT) AS sum_bytes,
+       CAST(list_max(codes) AS BIGINT) AS max_byte
+FROM ch
+"""
+
+
+# -------------------------------------------- frame sampling (video)
+
+VID_MAGIC = b"FAKEVID"
+VID_HEADER_LEN = len(VID_MAGIC) + 2  # magic + n_frames:uint16le
+
+
+def encode_fake_video(frames: list[bytes]) -> bytes:
+    """Deterministic fake video container: frame i is the byte-slice
+    body[i::n_frames] of the source — lengths are SQL-derivable."""
+    import struct as _struct
+
+    return (
+        VID_MAGIC
+        + _struct.pack("<H", len(frames))
+        + b"".join(_struct.pack("<I", len(f)) + f for f in frames)
+    )
+
+
+def video_from_documents(sf_dir: str) -> rd.Dataset:
+    """Synthesize a video table: n_frames = 8 + doc_id % 9 (8..16,
+    always < the 44-char corpus floor so every frame is non-empty);
+    frame i carries the text bytes at positions ≡ i (mod n_frames)."""
+    from .io import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        blobs = []
+        for i, t in zip(ids, texts):
+            n = 8 + i % 9
+            body = t.encode("utf-8")
+            blobs.append(encode_fake_video([body[k::n] for k in range(n)]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(["video"] * len(ids), pa.string()),
+                "payload": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(make, batch_format="pyarrow")
+
+
+class FrameSampler:
+    """Actor-pool frame-sample stage: parse the container, emit every
+    ``stride``-th frame as its own row (media_id, frame_idx,
+    n_frame_bytes). The real-codec analogue (keyframe extraction via
+    pyav/ffmpeg) would load the codec once per actor here; the
+    container walk and the row fan-out are the real plumbing."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct as _struct
+
+        ids, fidx, fbytes = [], [], []
+        for mid, blob in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            assert blob[: len(VID_MAGIC)] == VID_MAGIC, "bad video container"
+            (n_frames,) = _struct.unpack("<H", blob[len(VID_MAGIC) : VID_HEADER_LEN])
+            pos = VID_HEADER_LEN
+            for k in range(n_frames):
+                (ln,) = _struct.unpack("<I", blob[pos : pos + 4])
+                pos += 4 + ln
+                if k % self.stride == 0:
+                    ids.append(mid)
+                    fidx.append(k)
+                    fbytes.append(ln)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "n_frame_bytes": pa.array(fbytes, pa.int64()),
+            }
+        )
+
+
+def frame_sample(sf_dir: str, stride: int = 4) -> rd.Dataset:
+    """video_from_documents → FrameSampler actor pool, sorted output."""
+    return (
+        video_from_documents(sf_dir)
+        .map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"stride": stride},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+        )
+        .sort(["media_id", "frame_idx"])
+    )
+
+
+# frame k of doc d holds bytes at positions ≡ k (mod n): count =
+# floor((L - k - 1) / n) + 1 for k < L (always true: L ≥ 44 > 16 ≥ n)
+FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT doc_id, strlen(text) AS L, 8 + doc_id % 9 AS n FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST((L - k - 1) // n + 1 AS BIGINT) AS n_frame_bytes
+FROM v, LATERAL unnest(generate_series(0, n - 1, 4)) AS t(k)
+ORDER BY media_id, frame_idx
+"""
