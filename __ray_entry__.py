@@ -503,6 +503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
         "ngram_neardup_pairs": dedup.ngram_neardup_pairs,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # exact duplicated-substring detection (word-10-gram windows
+        # occurring ≥2× corpus-wide), Lee et al. 2022 shape — SQL-checked
+        "dup_window_docs": dedup.dup_window_docs,
         # ---- near-dup clustering (large-star/small-star CC) ----
         # chain-graph gate is SQL-checked; the minhash-fed variant is
         # rows-only (sketch upstream) with a union-find pytest oracle
@@ -687,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_pairs": dedup.MINHASH_NEARDUP_PAIRS_SQL,
         "ngram_neardup_pairs": dedup.NGRAM_NEARDUP_PAIRS_SQL,
         "embedding_neardup_pairs": dedup.EMB_NEARDUP_PAIRS_SQL,
+        "dup_window_docs": dedup.DUP_WINDOW_DOCS_SQL,
         "ann_brute_force": similarity.brute_force_topk_sql(),
         # exact-mode IVF (nprobe = n_centroids) equals brute force
         "ann_ivf": similarity.brute_force_topk_sql(),

@@ -151,6 +151,7 @@ def bench_queries() -> dict:
         dedup,
         indexing,
         joins,
+        multimodal,
         pack,
         quantiles,
         relational,
@@ -163,6 +164,16 @@ def bench_queries() -> dict:
     from transner_ray.ops import validate
 
     out = {}
+    # flat mentions table over the synthetic-pages spine — times the
+    # detect stage + the (now Arrow-vectorized) mention explode
+    def _kg_mentions(_sf):
+        from transner_ray.pipelines import kg
+
+        return kg.mentions_dataset(
+            kg.sentences_dataset(kg.read_pages(_kg_paths()), detect_batch_size=256)
+        )
+
+    out["kg_mentions"] = _timed(_kg_mentions, SF_DIR)
     out["lineitem_pricing"] = _timed(relational.lineitem_pricing, SF_DIR)
     out["segment_revenue"] = _timed(relational.segment_revenue, SF_DIR)
     out["events_hourly"] = _timed(relational.events_hourly, SF_DIR)
@@ -207,6 +218,10 @@ def bench_queries() -> dict:
     out["event_value_quantiles"] = _timed(quantiles.event_value_quantiles, SF_DIR)
     out["events_pivot"] = _timed(relational.events_pivot, SF_DIR)
     out["quality_checks"] = _timed(validate.quality_checks, SF_DIR)
+    out["minhash_neardup_pairs"] = _timed(dedup.minhash_neardup_pairs, SF_DIR)
+    out["embedding_neardup_pairs"] = _timed(dedup.embedding_neardup_pairs, SF_DIR)
+    out["media_features"] = _timed(multimodal.media_features, SF_DIR)
+    out["frame_sample"] = _timed(multimodal.frame_sample, SF_DIR)
     return out
 
 

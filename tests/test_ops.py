@@ -663,6 +663,33 @@ def test_neardup_pair_gates_vs_duckdb(con):
     _check(dedup.embedding_neardup_pairs, dedup.EMB_NEARDUP_PAIRS_SQL, con)
 
 
+def test_dup_window_docs_vs_duckdb(con):
+    """Exact duplicated-substring detection: per-doc count of
+    word-10-gram window positions whose window occurs ≥ 2× corpus-wide
+    — hash-based engine vs string-based SQL (collision check built
+    in)."""
+    from transner_ray.ops import dedup
+
+    _check(dedup.dup_window_docs, dedup.DUP_WINDOW_DOCS_SQL, con)
+    # the gate is non-trivial: some but not all docs carry dup windows
+    n = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    hits = con.sql(dedup.DUP_WINDOW_DOCS_SQL).df()
+    assert 0 < len(hits) < n
+
+
+def test_window_hashes_positional():
+    """_window_hashes is positional (every window, duplicates kept)
+    and order-sensitive."""
+    from transner_ray.ops.dedup import _batch_word_hashes, _window_hashes
+
+    H = _batch_word_hashes(["a b c a b c a b"])[0]
+    wh = _window_hashes(H, 3)
+    assert wh.size == 6  # 8 words → 6 positions
+    assert wh[0] == wh[3] and wh[1] == wh[4]  # repeated phrase collides
+    assert wh[0] != wh[1]  # order matters
+    assert _window_hashes(H[:2], 3).size == 0  # short text → no windows
+
+
 def test_neardup_gate_rejects_short_docs(con):
     """The near-miss gate's oracle decision is non-trivial: at least
     one doc must fail d/(d+1) ≥ 0.9 (reject branch live) and most must

@@ -1311,3 +1311,131 @@ SELECT vec_id AS vec_a, vec_id + {SELFDUP_ID_OFFSET} AS vec_b
 FROM embeddings
 ORDER BY vec_a, vec_b
 """
+
+
+# ------------------------------------- duplicated-substring detection
+
+DUP_WINDOW_W = 10  # words per window
+
+
+def _window_hashes(H: np.ndarray, w: int) -> np.ndarray:
+    """POSITIONAL word-w-gram hashes (every window position, NOT
+    uniqued — contrast _shingles_from_word_hashes): rolling polynomial
+    over the word-hash array, then splitmix. Order-sensitive, so
+    reordered windows do not collide."""
+    if H.size < w:
+        return np.zeros(0, dtype=np.uint64)
+    m = H.size - w + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for lane in range(w):
+        acc = acc * np.uint64(0x100000001B3) + H[lane : lane + m]
+    return _mix64(acc)
+
+
+def dup_window_docs(sf_dir: str, w: int = DUP_WINDOW_W) -> rd.Dataset:
+    """Exact duplicated-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data" shape, word-window granularity):
+    for every doc, the number of its word-``w``-gram window POSITIONS
+    whose window string occurs ≥ 2 times in the whole corpus. Docs
+    with no duplicated window are absent (anti-join shape).
+
+    Scale design — two word-shaped bucketed shuffles, no all-pairs:
+    1. per-batch partial: vectorized window hashing (one rolling
+       polynomial per doc over the factorized word hashes), ONE pandas
+       groupby → (window_hash, doc_id, positions) rows — the shuffle
+       carries one row per distinct (window, doc), never text.
+    2. bucket by window hash (fan-out scaled to ~corpus windows):
+       windows never split across buckets, so a bucket-local corpus
+       count ≥ 2 decides duplication exactly; emit per-doc partial
+       sums.
+    3. bucket by doc_id: sum partials → (doc_id, n_dup_windows).
+    Equality is on 64-bit window hashes (collision odds negligible,
+    same contract as every sketch gate here); the SQL oracle compares
+    the window STRINGS — agreement at all three tiers is the
+    collision check."""
+    from .agg import bucketed_group_reduce, hash_int_col
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = _docs_rows(sf_dir)
+    # fan-out input: windows ≈ words ≈ 256 × docs (the explode-aware
+    # convention used by the (doc,term) shuffles in indexing.py)
+    win_rows = (n_docs or 0) * 256 or None
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        Hs = _batch_word_hashes(df["text"].tolist())
+        ids = df["doc_id"].to_numpy()
+        wins, docs_rep = [], []
+        for doc, H in zip(ids, Hs):
+            wh = _window_hashes(H, w)
+            if wh.size:
+                wins.append(wh)
+                docs_rep.append(np.full(wh.size, doc, dtype=np.int64))
+        if not wins:
+            return pd.DataFrame(
+                {
+                    "win": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        flat = pd.DataFrame(
+            {
+                "win": np.concatenate(wins).view(np.int64),
+                "doc_id": np.concatenate(docs_rep),
+            }
+        )
+        g = flat.groupby(["win", "doc_id"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "win": g["win"].to_numpy(),
+                "doc_id": g["doc_id"].to_numpy(),
+                "cnt": g["size"].to_numpy().astype("int64"),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+
+    def win_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("win")["cnt"].transform("sum")
+        d = g[tot >= 2]
+        out = d.groupby("doc_id", as_index=False)["cnt"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "cnt": out["cnt"].to_numpy().astype("int64"),
+            }
+        )
+
+    per_win = bucketed_group_reduce(
+        partials, lambda df: hash_int_col(df["win"]), win_reduce, input_rows=win_rows
+    )
+
+    def doc_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)["cnt"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "n_dup_windows": out["cnt"].to_numpy().astype("int64"),
+            }
+        )
+
+    return bucketed_group_reduce(
+        per_win, lambda df: hash_int_col(df["doc_id"]), doc_reduce, input_rows=n_docs
+    ).sort("doc_id")
+
+
+DUP_WINDOW_DOCS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + {DUP_WINDOW_W - 1}], ' ') AS win
+  FROM t, LATERAL unnest(generate_series(1, len(ws) - {DUP_WINDOW_W - 1})) AS u(i)
+), c AS (
+  SELECT win FROM g GROUP BY win HAVING count(*) >= 2
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM g JOIN c ON g.win = c.win
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
