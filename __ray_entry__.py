@@ -525,6 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": traindata.epoch_shuffle,
         "decontaminate": traindata.decontaminate,
         "vocab_topk": traindata.vocab_topk,
+        # exact-k uniform sample (distributed top-k by Knuth hash,
+        # blocks × k short rows to the driver, zero shuffle)
+        "sample_exact_k": traindata.sample_exact_k,
         "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),
         "kg_edges": lambda sf: kg.edges_dataset(_kg_linked(sf), settle=True),
         # embedding-linker variant (alias + char-ngram embedding fallback)
@@ -670,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": traindata.DECONTAMINATE_SQL,
         "vocab_topk": traindata.VOCAB_TOPK_SQL,
         "stratified_sample": traindata.stratified_sample_sql(),
+        "sample_exact_k": traindata.sample_exact_k_sql(),
         "cap_per_group": traindata.cap_per_group_sql(),
         "prepare_training_data": traindata.prepare_training_data_sql(),
         "epoch_shuffle": traindata.epoch_shuffle_sql(),

@@ -1427,6 +1427,24 @@ def test_mg_batch_summary_bounded_and_mergeable():
     assert heavy <= set(summary), f"missing heavy terms: {heavy - set(summary)}"
 
 
+def test_sample_exact_k_vs_duckdb(con):
+    from transner_ray.ops import traindata
+
+    _check(traindata.sample_exact_k, traindata.sample_exact_k_sql(), con)
+
+
+def test_sample_exact_k_is_exact_and_uniformish(con):
+    """Exactly k rows, and the sample is hash-ordered (not a prefix of
+    doc_id space)."""
+    from transner_ray.ops import traindata
+
+    out = traindata.sample_exact_k(SF, k=50)
+    assert len(out) == 50
+    assert out["doc_id"].is_monotonic_increasing
+    n = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert out["doc_id"].max() > n // 2  # not the first-k prefix
+
+
 def test_cap_per_group_vs_duckdb(con):
     from transner_ray.ops import traindata
 

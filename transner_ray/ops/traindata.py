@@ -543,3 +543,63 @@ SELECT doc_id, source FROM (
 WHERE rn <= {n}
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ exact-k uniform sample
+
+SAMPLE_K = 200
+
+
+def sample_exact_k(sf_dir: str, k: int = SAMPLE_K) -> pd.DataFrame:
+    """Deterministic uniform sample of EXACTLY k docs (contrast
+    ``stratified_sample``, which keeps a hash RATE and so returns a
+    binomial-sized sample): the k docs with the smallest Knuth-hash
+    order key, ties by doc_id. No RNG state, no shuffle — the
+    distributed-top-k shape: every block emits its k smallest
+    (key, doc_id) partials (``batch_size=None`` → one partial per
+    block), the driver folds blocks × k SHORT rows and keeps the
+    global k. At 10^9 docs the driver sees k rows per block of the
+    scan, never data rows; a deeper tree (tournament of partial
+    top-ks) drops in if blocks × k ever outgrows the driver."""
+    import numpy as np
+
+    from .dedup import _read_docs
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy().astype(np.uint64)
+        key = (d * np.uint64(_KNUTH32)) % np.uint64(_U32)
+        out = pd.DataFrame({"key": key.astype("int64"), "doc_id": d.astype("int64")})
+        return out.sort_values(["key", "doc_id"], kind="stable").head(k)
+
+    parts = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+    folded = []
+    for t in parts.iter_batches(batch_format="pandas"):
+        folded.append(t)
+        if sum(len(f) for f in folded) > 64 * k:  # keep the driver fold flat
+            folded = [
+                pd.concat(folded).sort_values(["key", "doc_id"], kind="stable").head(k)
+            ]
+    top = (
+        pd.concat(folded).sort_values(["key", "doc_id"], kind="stable").head(k)
+        if folded
+        else pd.DataFrame({"key": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64")})
+    )
+    return (
+        top[["doc_id"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
+def sample_exact_k_sql(k: int = SAMPLE_K) -> str:
+    return f"""
+SELECT doc_id FROM (
+  SELECT doc_id FROM documents
+  ORDER BY (CAST(doc_id AS HUGEINT) * {_KNUTH32}) % {_U32}, doc_id
+  LIMIT {k}
+)
+ORDER BY doc_id
+"""
