@@ -101,3 +101,67 @@ def test_resolve_model_path(tmp_path):
     assert resolve_model_path("bert_x", models_dir=str(cache)) == str(cache / "bert_x")
     with pytest.raises(FileNotFoundError):
         resolve_model_path("nope", models_dir=str(cache))
+
+
+def _make_model_tarball(registry_dir, name, payload=b"weights"):
+    import tarfile
+
+    src = registry_dir / f"src-{name}" / name
+    src.mkdir(parents=True)
+    (src / "pytorch_model.bin").write_bytes(payload)
+    (src / "config.json").write_text("{}")
+    with tarfile.open(registry_dir / f"{name}.tar.gz", "w:gz") as tar:
+        tar.add(src, arcname=name)
+
+
+def test_resolve_model_path_registry_download(tmp_path):
+    """The reference's third fallback (ner.py:139-151): fetch
+    ``{registry}/{name}.tar.gz``, extract into the cache, return the
+    cached dir. file:// registry = the air-gapped/offline-test path."""
+    registry = tmp_path / "registry"
+    registry.mkdir()
+    _make_model_tarball(registry, "bert_dl")
+    cache = tmp_path / "cache"
+
+    got = resolve_model_path(
+        "bert_dl", models_dir=str(cache), registry_url=registry.as_uri()
+    )
+    assert got == str(cache / "bert_dl")
+    assert (cache / "bert_dl" / "pytorch_model.bin").read_bytes() == b"weights"
+    # no staging litter left behind
+    assert sorted(p.name for p in cache.iterdir()) == ["bert_dl"]
+
+    # second resolve is a pure cache hit (registry may even be gone)
+    import shutil
+
+    shutil.rmtree(registry)
+    assert resolve_model_path("bert_dl", models_dir=str(cache)) == str(
+        cache / "bert_dl"
+    )
+
+
+def test_resolve_model_path_env_registry(tmp_path, monkeypatch):
+    registry = tmp_path / "registry"
+    registry.mkdir()
+    _make_model_tarball(registry, "bert_env")
+    monkeypatch.setenv("TRANSNER_RAY_MODEL_REGISTRY", registry.as_uri())
+    cache = tmp_path / "cache"
+    got = resolve_model_path("bert_env", models_dir=str(cache))
+    assert got == str(cache / "bert_env")
+
+
+def test_resolve_model_path_rejects_traversal(tmp_path):
+    import tarfile
+
+    registry = tmp_path / "registry"
+    registry.mkdir()
+    evil = tmp_path / "evil.txt"
+    evil.write_text("boom")
+    with tarfile.open(registry / "bert_evil.tar.gz", "w:gz") as tar:
+        tar.add(evil, arcname="../escaped.txt")
+    cache = tmp_path / "cache"
+    with pytest.raises(ValueError, match="unsafe member path"):
+        resolve_model_path(
+            "bert_evil", models_dir=str(cache), registry_url=registry.as_uri()
+        )
+    assert not (tmp_path / "escaped.txt").exists()

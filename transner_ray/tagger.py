@@ -34,13 +34,27 @@ WordLabel = tuple[str, str]
 DEFAULT_MODELS_DIR = "models"
 
 
-def resolve_model_path(pretrained_model: str, models_dir: str = DEFAULT_MODELS_DIR) -> str:
+def resolve_model_path(
+    pretrained_model: str,
+    models_dir: str = DEFAULT_MODELS_DIR,
+    registry_url: str | None = None,
+) -> str:
     """S2 analogue of the reference's model resolution
-    (ner.py:129-151): a local path wins, then the cache directory.
-    The reference's third fallback — HTTP download of
-    ``{name}.tar.gz`` — is intentionally ABSENT (no network in prod
-    runs; model artifacts are provisioned to every node beforehand and
-    loaded once per actor in ``BertTagger.__init__``)."""
+    (ner.py:129-151): a local path wins, then the cache directory,
+    then — exactly the reference's third fallback — a registry
+    download of ``{name}.tar.gz`` extracted into the cache.
+
+    The registry base URL is never hard-coded: it comes from the
+    ``registry_url`` argument or ``$TRANSNER_RAY_MODEL_REGISTRY``
+    (the reference pins its own hard-coded host at ner.py:140; a
+    multi-node deployment points this at an internal mirror, and
+    ``file://`` URLs work for air-gapped provisioning and tests).
+    With no registry configured the resolution fails fast with the
+    provisioning hint — this sandbox has no network, so that is the
+    default behavior here. Extraction is atomic (stage + rename) so
+    concurrent actors on one node never observe a half-extracted
+    model, and member paths are validated (no absolute paths or
+    ``..`` traversal)."""
     import os
 
     if os.path.exists(pretrained_model):
@@ -48,10 +62,59 @@ def resolve_model_path(pretrained_model: str, models_dir: str = DEFAULT_MODELS_D
     cached = os.path.join(models_dir, pretrained_model)
     if os.path.exists(cached):
         return cached
-    raise FileNotFoundError(
-        f"Model {pretrained_model} not found locally or under {models_dir}/ "
-        "(network download is not supported; provision artifacts to the node)"
-    )
+    registry = registry_url or os.environ.get("TRANSNER_RAY_MODEL_REGISTRY")
+    if not registry:
+        raise FileNotFoundError(
+            f"Model {pretrained_model} not found locally or under {models_dir}/ "
+            "(no model registry configured; provision artifacts to the node or "
+            "set TRANSNER_RAY_MODEL_REGISTRY)"
+        )
+    return _download_model(pretrained_model, models_dir, registry)
+
+
+def _download_model(name: str, models_dir: str, registry: str) -> str:
+    """Fetch ``{registry}/{name}.tar.gz`` and extract it to
+    ``models_dir/name`` (ner.py:139-151 semantics: tarball carries the
+    model directory at its top level). Streamed to a per-pid temp
+    file; extracted into a per-pid staging dir; the final directory
+    appears via one atomic ``os.replace`` — a concurrently-resolving
+    actor either wins the rename or finds the cache already populated."""
+    import os
+    import shutil
+    import tarfile
+    import tempfile
+    import urllib.request
+
+    url = f"{registry.rstrip('/')}/{name}.tar.gz"
+    os.makedirs(models_dir, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=f".fetch-{name}-", dir=models_dir)
+    try:
+        tar_path = os.path.join(staging, f"{name}.tar.gz")
+        with urllib.request.urlopen(url) as resp, open(tar_path, "wb") as out:
+            shutil.copyfileobj(resp, out)
+        with tarfile.open(tar_path, "r:gz") as tar:
+            for m in tar.getmembers():
+                p = m.name
+                if p.startswith(("/", "\\")) or ".." in p.split("/"):
+                    raise ValueError(f"unsafe member path in model tarball: {p!r}")
+            try:
+                tar.extractall(path=staging, filter="data")
+            except TypeError:  # pre-3.11.4 tarfile without filter=
+                tar.extractall(path=staging)
+        extracted = os.path.join(staging, name)
+        if not os.path.isdir(extracted):
+            raise FileNotFoundError(
+                f"model tarball {url} does not contain a top-level {name}/ directory"
+            )
+        final = os.path.join(models_dir, name)
+        try:
+            os.replace(extracted, final)
+        except OSError:
+            if not os.path.isdir(final):  # lost a race only if cache is populated
+                raise
+        return final
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 class Tagger(Protocol):
