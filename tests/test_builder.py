@@ -150,6 +150,28 @@ def test_resolve_model_path_env_registry(tmp_path, monkeypatch):
     assert got == str(cache / "bert_env")
 
 
+def test_resolve_artifact_path_flat_file(tmp_path):
+    """Flat-file artifact resolution (lid.176.bin shape, ner.py:156-161)."""
+    from transner_ray.tagger import resolve_artifact_path
+
+    registry = tmp_path / "registry"
+    registry.mkdir()
+    (registry / "lid.176.bin").write_bytes(b"fasttext-model")
+    cache = tmp_path / "cache"
+
+    got = resolve_artifact_path(
+        "lid.176.bin", models_dir=str(cache), registry_url=registry.as_uri()
+    )
+    assert got == str(cache / "lid.176.bin")
+    assert (cache / "lid.176.bin").read_bytes() == b"fasttext-model"
+    assert sorted(p.name for p in cache.iterdir()) == ["lid.176.bin"]
+    # cache hit on re-resolve; local path wins outright
+    assert resolve_artifact_path("lid.176.bin", models_dir=str(cache)) == got
+    assert resolve_artifact_path(got, models_dir=str(tmp_path / "other")) == got
+    with pytest.raises(FileNotFoundError):
+        resolve_artifact_path("nope.bin", models_dir=str(cache))
+
+
 def test_resolve_model_path_rejects_traversal(tmp_path):
     import tarfile
 

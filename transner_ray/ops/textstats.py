@@ -338,9 +338,11 @@ class FastTextLanguageID:
 
     Actor-pool shape: ``lid.176.bin`` loads ONCE per actor in
     ``__init__``; ``__call__`` tags an Arrow batch with one batched
-    ``predict`` call. The model file must be provisioned to every node
-    beforehand (no network download — same policy as
-    ``tagger.resolve_model_path``). Usage::
+    ``predict`` call. The model file resolves through
+    ``tagger.resolve_artifact_path`` (local path → cache dir →
+    optional registry fetch via $TRANSNER_RAY_MODEL_REGISTRY — the
+    reference downloads it from the fasttext CDN at ner.py:156-161).
+    Usage::
 
         ds.map_batches(FastTextLanguageID, fn_constructor_kwargs={
             "model_path": "/models/lid.176.bin"},
@@ -360,15 +362,9 @@ class FastTextLanguageID:
                 "sandbox). The code behind this gate is complete; use "
                 "language_guess (stopword heuristic) instead."
             ) from exc
-        import os
+        from ..tagger import resolve_artifact_path
 
-        if not os.path.exists(model_path):
-            raise FileNotFoundError(
-                f"{model_path} not found (network download is not supported; "
-                "provision lid.176.bin to the node — "
-                "https://fasttext.cc/docs/en/language-identification.html)"
-            )
-        self.model = fasttext.load_model(model_path)
+        self.model = fasttext.load_model(resolve_artifact_path(model_path))
         self.text_col = text_col
 
     def __call__(self, batch: "pa.Table") -> "pa.Table":

@@ -117,6 +117,51 @@ def _download_model(name: str, models_dir: str, registry: str) -> str:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def resolve_artifact_path(
+    artifact: str,
+    models_dir: str = DEFAULT_MODELS_DIR,
+    registry_url: str | None = None,
+) -> str:
+    """Single-FILE sibling of :func:`resolve_model_path` for flat
+    artifacts like the fasttext ``lid.176.bin`` (the reference fetches
+    it unpacked, ner.py:156-161): local path → cache dir → registry
+    fetch of ``{registry}/{basename}`` (no tarball). Same atomicity
+    contract: streamed to a temp file, published with one
+    ``os.replace``."""
+    import os
+    import shutil
+    import tempfile
+    import urllib.request
+
+    if os.path.exists(artifact):
+        return artifact
+    name = os.path.basename(artifact)
+    cached = os.path.join(models_dir, name)
+    if os.path.exists(cached):
+        return cached
+    registry = registry_url or os.environ.get("TRANSNER_RAY_MODEL_REGISTRY")
+    if not registry:
+        raise FileNotFoundError(
+            f"Artifact {artifact} not found locally or under {models_dir}/ "
+            "(no model registry configured; provision the file to the node or "
+            "set TRANSNER_RAY_MODEL_REGISTRY)"
+        )
+    url = f"{registry.rstrip('/')}/{name}"
+    os.makedirs(models_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix=f".fetch-{name}-", dir=models_dir)
+    try:
+        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
+            shutil.copyfileobj(resp, out)
+        os.replace(tmp, cached)
+        return cached
+    except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
 class Tagger(Protocol):
     def tag(self, processed: str) -> tuple[list[WordLabel], list[float]]: ...
 
