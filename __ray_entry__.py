@@ -403,6 +403,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def kg_split_docs_jsonl(sf_dir: str):
+        """The JSONL (WET-shaped) webtext source driven through the
+        splitter: documents-derived EXTRACTED rows are sharded to
+        line-delimited JSON under /tmp (mtime-guarded vs the source
+        parquet), read back with sources.jsonl.read_extracted_jsonl,
+        and split — same SQL oracle as kg_split_docs, so the gate
+        proves the alternate ingest format end-to-end."""
+        import pyarrow as pa
+
+        from transner_ray.sources.jsonl import (
+            read_extracted_jsonl,
+            write_extracted_jsonl,
+        )
+        from transner_ray.stages.split import split_sentences_batch
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        out_dir = f"/tmp/transner_ray_jsonl/{tag}"
+        src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+        existing = sorted(
+            os.path.join(out_dir, f)
+            for f in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+            if f.endswith(".jsonl")
+        )
+        if not existing or any(os.path.getmtime(p) < src_mtime for p in existing):
+            tbl = pages_from_documents(sf_dir).select(["url", "text", "lang"])
+            existing = write_extracted_jsonl(tbl, out_dir, num_shards=4)
+        extracted = read_extracted_jsonl(existing)
+        sents = extracted.map_batches(split_sentences_batch, batch_format="pyarrow")
+        return sents.map_batches(
+            lambda t: pa.table({"url": t["url"], "sentence": t["sentence"]}),
+            batch_format="pyarrow",
+        )
+
     # NOTE on dict ORDER: the driver's correctness gate checks the
     # FIRST 50 keys in dict order. The flagship KG gates, IR,
     # quantiles, joins, ANN, k-means, multimodal and the dedup suite
@@ -415,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variants are SQL-checked, synthetic-pages spine rows-only) ----
         "kg_extract_text": kg_extract,
         "kg_split_docs": kg_split_docs,
+        "kg_split_docs_jsonl": kg_split_docs_jsonl,
         "kg_sentences_docs": kg_sentences_docs,
         "kg_gazetteer_mentions": kg_gazetteer_mentions,
         "kg_regex_mentions": kg_regex_mentions,
@@ -434,13 +468,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "born_entity_pagerank": lambda sf: pagerank_mod.entity_pagerank_over(
             kg_born_edges(sf), force_distributed=True, iters=5, num_buckets=4
         ),
-        "kg_sentences": _kg_sentences_only,
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
-        # (kg_entities / kg_edges / kg_edges_emblink — the rows-only
-        # synthetic-pages variants of machinery that IS SQL-gated via
-        # kg_born_entities / kg_born_edges / kg_born_edges_emblink —
-        # sit past position 50 to keep flagship SQL gates in-window)
+        # (kg_sentences / kg_entities / kg_edges / kg_edges_emblink —
+        # the rows-only synthetic-pages variants of machinery that IS
+        # SQL-gated via kg_sentences_docs / kg_born_entities /
+        # kg_born_edges / kg_born_edges_emblink — sit past position 50
+        # to keep flagship SQL gates in-window)
         # ---- IR indexing + retrieval (all SQL-checked) ----
         "inverted_index": indexing.inverted_index,
         "tfidf_top_terms": indexing.tfidf_top_terms,
@@ -528,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-k uniform sample (distributed top-k by Knuth hash,
         # blocks × k short rows to the driver, zero shuffle)
         "sample_exact_k": traindata.sample_exact_k,
+        "kg_sentences": _kg_sentences_only,
         "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),
         "kg_edges": lambda sf: kg.edges_dataset(_kg_linked(sf), settle=True),
         # embedding-linker variant (alias + char-ngram embedding fallback)
@@ -653,6 +688,16 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": relational.EVENTS_SLIDING_SQL,
         "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_SQL,
         "kg_split_docs": r"""
+            SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   trim(s) AS sentence
+            FROM (
+              SELECT doc_id, unnest(regexp_extract_all(text, '[^.!?\n]*[.!?]+|[^.!?\n]+')) AS s
+              FROM documents
+            ) WHERE trim(s) != ''
+        """,
+        # the JSONL ingest path reproduces the parquet path exactly —
+        # same oracle as kg_split_docs
+        "kg_split_docs_jsonl": r"""
             SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
                    trim(s) AS sentence
             FROM (

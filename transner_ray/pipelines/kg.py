@@ -95,10 +95,40 @@ def sentences_dataset(
     a small GPU node group and need more, smaller blocks to stay
     saturated.
     """
-    gz_ref = ray.put(gazetteers if gazetteers is not None else default_gazetteers())
-    base = pages.map_batches(
+    extracted = pages.map_batches(
         extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(split_sentences_batch, batch_format="pyarrow")
+    )
+    return sentences_from_extracted(
+        extracted,
+        detect_concurrency=detect_concurrency,
+        detect_batch_size=detect_batch_size,
+        use_actor_pool=use_actor_pool,
+        gazetteers=gazetteers,
+        tagger=tagger,
+        model_path=model_path,
+        detect_num_gpus=detect_num_gpus,
+        repartition_before_detect=repartition_before_detect,
+    )
+
+
+def sentences_from_extracted(
+    extracted: rd.Dataset,
+    detect_concurrency: int | tuple[int, int] | None = None,
+    detect_batch_size: int = 256,
+    use_actor_pool: bool = False,
+    gazetteers=None,
+    tagger: str = "rule",
+    model_path: str | None = None,
+    detect_num_gpus: float = 0,
+    repartition_before_detect: int | None = None,
+) -> rd.Dataset:
+    """The split → detect tail of :func:`sentences_dataset`, entered at
+    the post-stage-E boundary (``EXTRACTED`` rows: url/text/lang).
+    This is where text-native sources plug in — JSONL/WET webtext dumps
+    (``sources.jsonl.read_extracted_jsonl``) carry pre-extracted text
+    and never had an ``html`` column to drop."""
+    gz_ref = ray.put(gazetteers if gazetteers is not None else default_gazetteers())
+    base = extracted.map_batches(split_sentences_batch, batch_format="pyarrow")
     if repartition_before_detect:
         base = base.repartition(repartition_before_detect)
     if tagger != "rule":
