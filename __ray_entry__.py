@@ -540,11 +540,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact duplicated-substring detection (word-10-gram windows
         # occurring ≥2× corpus-wide), Lee et al. 2022 shape — SQL-checked
         "dup_window_docs": dedup.dup_window_docs,
+        # incremental dedup of a new crawl shard against a PERSISTED
+        # hash-bucketed fingerprint index (build under /tmp once,
+        # co-partitioned anti-join, no broadcast) — SQL-checked
+        "dedup_incremental": dedup.dedup_incremental,
         # ---- near-dup clustering (large-star/small-star CC) ----
         # chain-graph gate is SQL-checked; the minhash-fed variant is
         # rows-only (sketch upstream) with a union-find pytest oracle
         "doc_chain_components": cc.doc_chain_components,
-        "neardup_clusters": cc.neardup_clusters,
+        # (neardup_clusters — rows-only sibling of the SQL-gated
+        # doc_chain_components — sits past position 50)
         # graph analytics over the constructed KG (rows-only: iterative
         # float fit; exact-equality + float-reference pytest oracles)
         "entity_pagerank": pagerank_mod.entity_pagerank,
@@ -562,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-k uniform sample (distributed top-k by Knuth hash,
         # blocks × k short rows to the driver, zero shuffle)
         "sample_exact_k": traindata.sample_exact_k,
+        "neardup_clusters": cc.neardup_clusters,
         "kg_sentences": _kg_sentences_only,
         "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),
         "kg_edges": lambda sf: kg.edges_dataset(_kg_linked(sf), settle=True),
@@ -740,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_neardup_pairs": dedup.NGRAM_NEARDUP_PAIRS_SQL,
         "embedding_neardup_pairs": dedup.EMB_NEARDUP_PAIRS_SQL,
         "dup_window_docs": dedup.DUP_WINDOW_DOCS_SQL,
+        "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "ann_brute_force": similarity.brute_force_topk_sql(),
         # exact-mode IVF (nprobe = n_centroids) equals brute force
         "ann_ivf": similarity.brute_force_topk_sql(),

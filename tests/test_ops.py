@@ -1557,3 +1557,56 @@ def test_quality_checks_vs_duckdb(con):
     from transner_ray.ops import validate
 
     _check(validate.quality_checks, validate.QUALITY_CHECKS_SQL, con)
+
+
+def test_dedup_incremental_vs_duckdb(con):
+    from transner_ray.ops import dedup
+
+    _check(dedup.dedup_incremental, dedup.DEDUP_INCREMENTAL_SQL, con)
+
+
+def test_exact_index_lifecycle(tmp_path):
+    """build -> dedup shard 1 -> append keepers -> dedup shard 2:
+    shard-2 rows duplicating shard 1 (not just the original corpus)
+    must now be dropped, proving the O(shard) accept step works."""
+    import ray.data as rd
+
+    from transner_ray.ops import dedup
+
+    corpus = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha beta", "gamma delta", "epsilon"]}
+    )
+    idx_dir = str(tmp_path / "idx")
+    dedup.build_exact_index(rd.from_pandas(corpus), idx_dir, num_buckets=4)
+
+    shard1 = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            # dup-of-corpus, new, in-shard dup pair (first wins)
+            "text": ["alpha beta", "zeta eta", "theta", "theta"],
+        }
+    )
+    kept1 = (
+        dedup.dedup_against_index(rd.from_pandas(shard1), idx_dir)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert kept1["doc_id"].tolist() == [11, 12]
+
+    dedup.append_to_exact_index(
+        rd.from_pandas(kept1), idx_dir
+    )
+
+    shard2 = pd.DataFrame(
+        {
+            "doc_id": [20, 21, 22],
+            # dup of shard-1 keeper, dup of original corpus, new
+            "text": ["zeta eta", "epsilon", "iota kappa"],
+        }
+    )
+    kept2 = (
+        dedup.dedup_against_index(rd.from_pandas(shard2), idx_dir)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert kept2["doc_id"].tolist() == [22]

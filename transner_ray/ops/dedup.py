@@ -50,6 +50,8 @@ process), so every run and every parallelism level agrees.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1438,4 +1440,209 @@ SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
 FROM g JOIN c ON g.win = c.win
 GROUP BY g.doc_id
 ORDER BY g.doc_id
+"""
+
+
+# ---------------------------------- incremental dedup (persisted index)
+#
+# The 100-TB shape exact_dedup cannot cover: a corpus is ingested in
+# CRAWL BATCHES, and each new batch must be deduplicated against
+# everything already accepted — without recomputing over (or
+# broadcasting) the accepted corpus. The accepted corpus's fingerprints
+# live in a PERSISTED, hash-bucketed parquet index; a new shard
+# co-partitions on the same bucket function and anti-joins per bucket.
+# Neither side is ever collected: the shuffle carries 16-byte
+# fingerprints, the index read is column-pruned and partition-parallel,
+# and accepting a shard appends its keeper fingerprints as new files
+# under the existing b=K/ directories (no rewrite of the index).
+
+
+def _md5_hex(texts) -> list[str]:
+    import hashlib
+
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def build_exact_index(
+    docs: rd.Dataset, index_dir: str, num_buckets: int, id_col: str = "doc_id"
+) -> dict:
+    """Persist the exact-fingerprint index of an accepted corpus: one
+    row per DISTINCT text_md5, hive-partitioned by ``b = hash(md5) %
+    num_buckets``. ``meta.json`` pins num_buckets so later shards
+    co-partition identically (the bucket count is a property of the
+    INDEX, frozen at build time — rebucketing means rebuilding).
+    Atomic publish via directory rename."""
+    import json
+    import shutil
+
+    from .agg import hash_str_col
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"text_md5": _md5_hex(df["text"])}).drop_duplicates()
+        out["b"] = (hash_str_col(out["text_md5"]) % np.uint64(num_buckets)).astype(
+            "int32"
+        )
+        return out
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("text_md5")
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("b")
+        .map_groups(distinct, batch_format="pandas")
+        .write_parquet(os.path.join(tmp, "fp"), partition_cols=["b"])
+    )
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"num_buckets": num_buckets, "kind": "exact_md5"}, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return {"index_dir": index_dir, "num_buckets": num_buckets}
+
+
+def _read_exact_index(index_dir: str) -> tuple[rd.Dataset, int]:
+    import glob as _glob
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        num_buckets = json.load(f)["num_buckets"]
+    files = sorted(_glob.glob(os.path.join(index_dir, "fp", "b=*", "*.parquet")))
+    idx = rd.read_parquet(files, columns=["text_md5"])
+    return idx, num_buckets
+
+
+def dedup_against_index(incoming: rd.Dataset, index_dir: str) -> rd.Dataset:
+    """Anti-join a new shard against a persisted exact index, plus
+    first-wins dedup WITHIN the shard (exact_dedup semantics): returns
+    one ``(doc_id, text_md5)`` keeper row per distinct incoming text
+    that is absent from the index.
+
+    Both sides are large → no broadcast: union-tag co-partition on the
+    index's frozen bucket function, one ``groupby('b')`` shuffle of
+    md5-only rows, per-bucket vectorized ``isin`` drop. The index side
+    re-derives ``b`` from the md5 (cheap) rather than trusting the
+    partition column's read-back dtype."""
+    from .agg import hash_str_col
+
+    idx, num_buckets = _read_exact_index(index_dir)
+
+    def tag_index(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["text_md5"]].copy()
+        df["doc_id"] = np.int64(-1)
+        df["side"] = np.int8(0)
+        df["b"] = (hash_str_col(df["text_md5"]) % np.uint64(num_buckets)).astype(
+            "int32"
+        )
+        return df
+
+    def tag_incoming(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "text_md5": _md5_hex(df["text"]),
+                "doc_id": df["doc_id"].to_numpy().astype("int64"),
+            }
+        )
+        out["side"] = np.int8(1)
+        out["b"] = (hash_str_col(out["text_md5"]) % np.uint64(num_buckets)).astype(
+            "int32"
+        )
+        return out
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        inc = g[g["side"] == 1]
+        seen = g.loc[g["side"] == 0, "text_md5"]
+        kept = inc[~inc["text_md5"].isin(set(seen))]
+        out = kept.groupby("text_md5", as_index=False)["doc_id"].min()
+        return out[["doc_id", "text_md5"]]
+
+    tagged = idx.map_batches(tag_index, batch_format="pandas").union(
+        incoming.map_batches(tag_incoming, batch_format="pandas")
+    )
+    return (
+        tagged.groupby("b").map_groups(reduce, batch_format="pandas").sort("doc_id")
+    )
+
+
+def append_to_exact_index(kept: rd.Dataset, index_dir: str) -> None:
+    """Accept a deduplicated shard into the index: append its keeper
+    fingerprints as NEW parquet files under the existing ``b=K/``
+    directories (no rewrite — the accept step is O(shard), not
+    O(corpus)). ``kept`` is ``dedup_against_index`` output, so its
+    md5s are distinct and disjoint from the index by construction."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from .agg import hash_str_col
+
+    _, num_buckets = _read_exact_index(index_dir)
+    stamp = uuid.uuid4().hex[:12]
+
+    def write_bucket_files(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["text_md5"]].copy()
+        df["b"] = (hash_str_col(df["text_md5"]) % np.uint64(num_buckets)).astype(
+            "int32"
+        )
+        for b, g in df.groupby("b"):
+            d = os.path.join(index_dir, "fp", f"b={int(b)}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"append-{stamp}-{uuid.uuid4().hex[:8]}.parquet")
+            pq.write_table(
+                pa.table({"text_md5": pa.array(g["text_md5"], pa.string())}),
+                path + ".tmp",
+            )
+            os.replace(path + ".tmp", path)
+        return pd.DataFrame({"n": [len(df)]})
+
+    # consume to execute (map_batches is lazy); row counts are tiny
+    kept.map_batches(write_bucket_files, batch_format="pandas").count()
+
+
+def dedup_incremental(sf_dir: str) -> rd.Dataset:
+    """Driver gate for the incremental-dedup shape. Scenario derived
+    deterministically from the documents table: the accepted corpus is
+    the EVEN doc_ids (indexed once under /tmp, mtime-guarded); the
+    incoming shard is the whole table re-crawled with shifted ids
+    (doc_id + n) — every even text is a re-crawl duplicate the index
+    must drop, every odd text is new and kept."""
+    from .io import parquet_num_rows
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    index_dir = f"/tmp/transner_ray_dedup_index/{tag}"
+    src = f"{sf_dir}/documents.parquet"
+    n = parquet_num_rows(src) or 0
+    meta = os.path.join(index_dir, "meta.json")
+    if (not os.path.exists(meta)) or os.path.getmtime(meta) < os.path.getmtime(src):
+        from .agg import scaled_num_buckets
+
+        even = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas"
+        )
+        build_exact_index(even, index_dir, num_buckets=scaled_num_buckets(n))
+
+    def shift(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "text"]].copy()
+        df["doc_id"] = df["doc_id"].to_numpy().astype("int64") + np.int64(n)
+        return df
+
+    incoming = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        shift, batch_format="pandas"
+    )
+    return dedup_against_index(incoming, index_dir)
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH existing AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+), incoming AS (
+  SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id, text FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS text_md5
+FROM incoming
+WHERE text NOT IN (SELECT text FROM existing)
+GROUP BY text
+ORDER BY doc_id
 """
