@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
         traindata,
     )
+    from transner_ray.ops import bpe as bpe_mod
     from transner_ray.ops import pagerank as pagerank_mod
     from transner_ray.ops import validate
     from transner_ray.pipelines import kg
@@ -568,6 +569,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocks × k short rows to the driver, zero shuffle)
         "sample_exact_k": traindata.sample_exact_k,
         "neardup_clusters": cc.neardup_clusters,
+        # BPE tokenizer training: ONE distributed word-count pass
+        # (vocab_topk machinery, SQL-gated above) + driver merge loop
+        # over the vocab-scale table; rows-only (iterative merges are
+        # not SQL-expressible), exact-equality pytest oracle
+        "bpe_merges": bpe_mod.bpe_train,
         "kg_sentences": _kg_sentences_only,
         "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),
         "kg_edges": lambda sf: kg.edges_dataset(_kg_linked(sf), settle=True),

@@ -1610,3 +1610,84 @@ def test_exact_index_lifecycle(tmp_path):
         .reset_index(drop=True)
     )
     assert kept2["doc_id"].tolist() == [22]
+
+
+def test_bpe_merge_loop_classic_example():
+    """Sennrich et al. 2016 running example: merges are driven by
+    summed word counts with lexicographic tie-break."""
+    from transner_ray.ops import bpe
+
+    wc = pd.DataFrame(
+        {"word": ["low", "lower", "newest", "widest"], "cnt": [5, 2, 6, 3]}
+    )
+    m = bpe.merge_loop(wc, num_merges=4)
+    got = list(zip(m["left"], m["right"]))
+    # (e,s)=9 and (es,t)=9 and (est,</w>)=9 dominate, then (l,o)=7
+    assert got == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+
+
+def test_bpe_train_vs_sequential_oracle():
+    """Engine (distributed word count -> merge loop) must equal the
+    sequential oracle (pandas word count through the SAME loop)."""
+    import re
+
+    from transner_ray.ops import bpe
+
+    got = bpe.bpe_train(SF, top_words=300, num_merges=25)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    words: list[str] = []
+    rex = re.compile(r"[a-z]+")
+    for t in docs["text"]:
+        words.extend(rex.findall(t.lower()))
+    s = pd.Series(words, dtype="object")
+    cnt = s.groupby(s).size()
+    wc = (
+        pd.DataFrame({"word": cnt.index.to_numpy(), "cnt": cnt.to_numpy().astype("int64")})
+        .sort_values(["cnt", "word"], ascending=[False, True])
+        .head(300)
+        .reset_index(drop=True)
+    )
+    want = bpe.merge_loop(wc, num_merges=25)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bpe_encode_word_consistent():
+    from transner_ray.ops import bpe
+
+    wc = pd.DataFrame(
+        {"word": ["low", "lower", "newest", "widest"], "cnt": [5, 2, 6, 3]}
+    )
+    m = bpe.merge_loop(wc, num_merges=10)
+    ranks = {t: r for r, t in zip(m["rank"], m["token"])}
+    for w in ["low", "newest", "lowest", "wide"]:
+        toks = bpe.encode_word(w, ranks)
+        assert "".join(toks) == w + bpe.EOW
+    # a fully-learned word collapses to one token
+    assert bpe.encode_word("newest", ranks) == ["newest" + bpe.EOW]
+
+
+def test_bpe_incremental_equals_naive_randomized():
+    """Differential: the incremental pair-count merge loop must be
+    bit-identical to the full-rescan mirror on randomized vocabularies
+    (seeded), including pathological repeated-letter words."""
+    import numpy as np
+
+    from transner_ray.ops import bpe
+
+    rng = np.random.default_rng(7)
+    letters = list("abcde")
+    for trial in range(8):
+        n = int(rng.integers(5, 40))
+        words = [
+            "".join(rng.choice(letters, size=int(rng.integers(1, 9))))
+            for _ in range(n)
+        ]
+        wc = (
+            pd.DataFrame({"word": words, "cnt": rng.integers(1, 9, size=n)})
+            .groupby("word", as_index=False)["cnt"]
+            .sum()
+        )
+        a = bpe.merge_loop(wc, num_merges=30)
+        b = bpe._merge_loop_naive(wc, num_merges=30)
+        pd.testing.assert_frame_equal(a, b)
