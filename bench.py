@@ -222,6 +222,14 @@ def bench_queries() -> dict:
     out["embedding_neardup_pairs"] = _timed(dedup.embedding_neardup_pairs, SF_DIR)
     out["media_features"] = _timed(multimodal.media_features, SF_DIR)
     out["frame_sample"] = _timed(multimodal.frame_sample, SF_DIR)
+    out["sample_exact_k"] = _timed(traindata.sample_exact_k, SF_DIR)
+    # first call builds the persisted index under /tmp (cold); the
+    # best-of-reps then measures the warm anti-join, the steady-state
+    # shape of the incremental-dedup loop
+    out["dedup_incremental"] = _timed(dedup.dedup_incremental, SF_DIR)
+    from transner_ray.ops import bpe as bpe_mod
+
+    out["bpe_merges"] = _timed(bpe_mod.bpe_train, SF_DIR)
     return out
 
 
