@@ -411,7 +411,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parquet), read back with sources.jsonl.read_extracted_jsonl,
         and split — same SQL oracle as kg_split_docs, so the gate
         proves the alternate ingest format end-to-end."""
+        import json
+        import shutil
+
         import pyarrow as pa
+        import pyarrow.parquet as pq
 
         from transner_ray.sources.jsonl import (
             read_extracted_jsonl,
@@ -421,16 +425,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
         out_dir = f"/tmp/transner_ray_jsonl/{tag}"
+        manifest = os.path.join(out_dir, "_manifest.json")
         src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
-        existing = sorted(
-            os.path.join(out_dir, f)
-            for f in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
-            if f.endswith(".jsonl")
-        )
-        if not existing or any(os.path.getmtime(p) < src_mtime for p in existing):
-            tbl = pages_from_documents(sf_dir).select(["url", "text", "lang"])
-            existing = write_extracted_jsonl(tbl, out_dir, num_shards=4)
-        extracted = read_extracted_jsonl(existing)
+        # the manifest (written LAST, atomically) is the completeness
+        # marker: per-shard publish is atomic but the SET is not — an
+        # interrupted writer must not leave a readable partial corpus
+        paths: list[str] = []
+        if os.path.exists(manifest) and os.path.getmtime(manifest) >= src_mtime:
+            listed = json.load(open(manifest))["paths"]
+            if all(os.path.exists(p) for p in listed):
+                paths = listed
+        if not paths:
+            shutil.rmtree(out_dir, ignore_errors=True)  # clear orphan shards
+            docs = pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+            )
+            urls = pa.array(
+                [f"https://docs.example/{d:08d}" for d in docs["doc_id"].to_pylist()],
+                pa.string(),
+            )
+            tbl = pa.table(
+                {"url": urls, "text": docs["text"], "lang": docs["lang"]}
+            )
+            paths = write_extracted_jsonl(tbl, out_dir, num_shards=4)
+            tmp_mf = manifest + ".tmp"
+            with open(tmp_mf, "w") as f:
+                json.dump({"paths": paths}, f)
+            os.replace(tmp_mf, manifest)
+        extracted = read_extracted_jsonl(paths)
         sents = extracted.map_batches(split_sentences_batch, batch_format="pyarrow")
         return sents.map_batches(
             lambda t: pa.table({"url": t["url"], "sentence": t["sentence"]}),

@@ -187,3 +187,22 @@ def test_resolve_model_path_rejects_traversal(tmp_path):
             "bert_evil", models_dir=str(cache), registry_url=registry.as_uri()
         )
     assert not (tmp_path / "escaped.txt").exists()
+
+
+def test_resolve_model_path_rejects_link_members(tmp_path):
+    """Symlink members can escape staging on interpreters without
+    tarfile filter='data' — rejected up front on all versions."""
+    import tarfile
+
+    registry = tmp_path / "registry"
+    registry.mkdir()
+    with tarfile.open(registry / "bert_sym.tar.gz", "w:gz") as tar:
+        info = tarfile.TarInfo("bert_sym/link")
+        info.type = tarfile.SYMTYPE
+        info.linkname = "/etc"
+        tar.addfile(info)
+    cache = tmp_path / "cache"
+    with pytest.raises(ValueError, match="link member"):
+        resolve_model_path(
+            "bert_sym", models_dir=str(cache), registry_url=registry.as_uri()
+        )

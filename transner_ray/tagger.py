@@ -97,6 +97,10 @@ def _download_model(name: str, models_dir: str, registry: str) -> str:
                 p = m.name
                 if p.startswith(("/", "\\")) or ".." in p.split("/"):
                     raise ValueError(f"unsafe member path in model tarball: {p!r}")
+                # symlink/hardlink members can escape the staging dir on
+                # interpreters whose tarfile lacks filter='data'
+                if m.issym() or m.islnk():
+                    raise ValueError(f"link member in model tarball: {p!r}")
             try:
                 tar.extractall(path=staging, filter="data")
             except TypeError:  # pre-3.11.4 tarfile without filter=
@@ -150,7 +154,9 @@ def resolve_artifact_path(
     os.makedirs(models_dir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(prefix=f".fetch-{name}-", dir=models_dir)
     try:
-        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
+        # fdopen FIRST so the descriptor is owned (and closed) by the
+        # with-block even when urlopen raises
+        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:
             shutil.copyfileobj(resp, out)
         os.replace(tmp, cached)
         return cached
