@@ -156,3 +156,37 @@ def test_append_only_ingest_runs_only_new_partitions(tmp_path):
     pd.testing.assert_frame_equal(
         _edges(r2["out_dir"]), _edges(r3["out_dir"])
     )
+
+
+def test_run_partitioned_jsonl_matches_parquet(workdir, tmp_path):
+    """input_format='jsonl': the resumable job over WET-shaped shards
+    must produce the same edge table as over parquet pages, and resume
+    (full-skip) must work identically."""
+    import pyarrow as pa
+
+    from transner_ray.sources.jsonl import write_extracted_jsonl
+    from transner_ray.stages.extract import extract_text_batch
+
+    extracted = (
+        rd.read_parquet(workdir["paths"])
+        .map_batches(extract_text_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    jl_paths = write_extracted_jsonl(
+        pa.Table.from_pandas(extracted, preserve_index=False),
+        str(tmp_path / "jl"),
+        num_shards=3,
+    )
+
+    r_pq = kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=3)
+    r_jl = kg.run_partitioned(
+        jl_paths, str(tmp_path / "ckpt_jl"), num_partitions=3, input_format="jsonl"
+    )
+    assert (r_jl["entities"], r_jl["edges"]) == (r_pq["entities"], r_pq["edges"])
+    pd.testing.assert_frame_equal(_edges(r_jl["out_dir"]), _edges(r_pq["out_dir"]))
+
+    r_jl2 = kg.run_partitioned(
+        jl_paths, str(tmp_path / "ckpt_jl"), num_partitions=3, input_format="jsonl"
+    )
+    assert r_jl2["ran"] == [] and r_jl2["skipped"] == [0, 1, 2]
+    pd.testing.assert_frame_equal(_edges(r_jl2["out_dir"]), _edges(r_pq["out_dir"]))

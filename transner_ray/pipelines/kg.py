@@ -264,6 +264,7 @@ def run_partitioned(
     write_mentions: bool = True,
     wide_num_blocks: int = 8,
     gazetteers=None,
+    input_format: str = "parquet",
 ) -> dict:
     """Resumable KG job. Phase 1 (narrow, per partition): pages files →
     linked triples (+ flat mentions) parquet under ``ckpt_dir`` with a
@@ -285,6 +286,12 @@ def run_partitioned(
     appending files leaves completed partition identities untouched —
     a rerun processes ONLY the new files and re-reduces phase 2
     (pinned by ``test_append_only_ingest_runs_only_new_partitions``).
+
+    ``input_format='jsonl'`` ingests WET-shaped line-delimited JSON
+    shards (``sources.jsonl.read_extracted_jsonl`` field defaults)
+    through the same partition plan, manifests, fingerprints and wide
+    phase — a resumable job over a raw crawl dump needs no parquet
+    conversion pass first.
     """
     store = CheckpointStore(ckpt_dir)
     parts = plan_partitions(input_files, num_partitions)
@@ -323,9 +330,19 @@ def run_partitioned(
         # per-write UUIDs) and silently duplicate every sentence
         for stage in ("triples", "mentions", "sm"):
             store.clean_incomplete(stage, pid)
-        sm = sentences_dataset(
-            read_pages(files), detect_concurrency, detect_batch_size, gazetteers=gazetteers
-        )
+        if input_format == "jsonl":
+            from ..sources.jsonl import read_extracted_jsonl
+
+            sm = sentences_from_extracted(
+                read_extracted_jsonl(files),
+                detect_concurrency,
+                detect_batch_size,
+                gazetteers=gazetteers,
+            )
+        else:
+            sm = sentences_dataset(
+                read_pages(files), detect_concurrency, detect_batch_size, gazetteers=gazetteers
+            )
         rows: dict[str, int] = {}
 
         def _rows_written(stage: str) -> int:
