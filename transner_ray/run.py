@@ -19,7 +19,13 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="transner_ray KG-construction job")
-    ap.add_argument("--input", required=True, help="pages parquet file/glob/dir")
+    ap.add_argument("--input", required=True, help="pages file/glob/dir (parquet or jsonl)")
+    ap.add_argument(
+        "--input-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="jsonl = WET-shaped line-delimited records (url/text/lang)",
+    )
     ap.add_argument("--ckpt-dir", required=True, help="checkpoint + manifest root")
     ap.add_argument("--out-dir", default=None, help="final outputs (default: <ckpt>/out)")
     ap.add_argument("--num-partitions", type=int, default=16)
@@ -42,8 +48,9 @@ def main(argv: list[str] | None = None) -> int:
 
     import os
 
+    ext = "*.parquet" if args.input_format == "parquet" else "*.jsonl"
     if os.path.isdir(args.input):
-        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        files = sorted(glob.glob(os.path.join(args.input, ext)))
     else:
         files = sorted(glob.glob(args.input))
     if not files:
@@ -60,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         detect_batch_size=args.detect_batch_size,
         write_mentions=not args.no_mentions,
         wide_num_blocks=args.wide_num_blocks,
+        input_format=args.input_format,
     )
     print(json.dumps(result))
     ray.shutdown()
