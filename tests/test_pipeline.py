@@ -102,3 +102,18 @@ def test_jsonl_reader_field_mapping(tmp_path):
     assert list(out.columns) == ["url", "text", "lang"]
     assert out["lang"].unique().tolist() == ["en"]
     assert out["text"][0] == "doc 0 body."
+
+
+def test_jsonl_reader_gzip(tmp_path):
+    """Real WET dumps ship gzipped; the reader must stream .jsonl.gz."""
+    import gzip
+    import json
+
+    from transner_ray.sources.jsonl import read_extracted_jsonl
+
+    p = tmp_path / "part.jsonl.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        for i in range(5):
+            f.write(json.dumps({"url": f"u{i}", "text": f"t {i}.", "lang": "en"}) + "\n")
+    out = read_extracted_jsonl([str(p)]).to_pandas().sort_values("url")
+    assert len(out) == 5 and out["text"].iloc[0] == "t 0."
