@@ -1691,3 +1691,33 @@ def test_bpe_incremental_equals_naive_randomized():
         a = bpe.merge_loop(wc, num_merges=30)
         b = bpe._merge_loop_naive(wc, num_merges=30)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_append_to_ivf_index_vectors_searchable():
+    """Appended vectors join the index with no rebuild: a copy of the
+    query vector appended under a new vec_id must come back at rank 1
+    with cosine 1.0 in exact mode (nprobe = all lists)."""
+    import ray.data as rd
+
+    from transner_ray.ops import similarity
+
+    idx_dir = "/tmp/transner_ray_ivf/sf0.001"
+    similarity.ann_ivf_index(SF)  # ensures the index exists (build-once)
+    before = similarity.ivf_index_topk(idx_dir, SF, k=5, query_vec_id=0, nprobe=16)
+    assert 1_000_000 not in set(before["vec_id"])
+
+    q = similarity._query_vector(SF, 0)
+    res = similarity.append_to_ivf_index(
+        rd.from_pandas(
+            pd.DataFrame({"vec_id": [1_000_000], "embedding": [list(map(float, q))]})
+        ),
+        idx_dir,
+    )
+    assert res == {"appended": 1}
+    after = similarity.ivf_index_topk(idx_dir, SF, k=5, query_vec_id=0, nprobe=16)
+    assert after["vec_id"].iloc[0] == 1_000_000
+    assert after["cosine"].iloc[0] == 1.0
+    # leave the index clean for the other tests (build-once semantics)
+    import shutil
+
+    shutil.rmtree(idx_dir, ignore_errors=True)

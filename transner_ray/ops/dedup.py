@@ -1510,7 +1510,12 @@ def _read_exact_index(index_dir: str) -> tuple[rd.Dataset, int]:
     with open(os.path.join(index_dir, "meta.json")) as f:
         num_buckets = json.load(f)["num_buckets"]
     files = sorted(_glob.glob(os.path.join(index_dir, "fp", "b=*", "*.parquet")))
-    idx = rd.read_parquet(files, columns=["text_md5"])
+    if not files:  # an index built from an empty corpus: nothing seen yet
+        idx = rd.from_arrow(
+            pa.table({"text_md5": pa.array([], pa.string())})
+        )
+    else:
+        idx = rd.read_parquet(files, columns=["text_md5"])
     return idx, num_buckets
 
 

@@ -481,3 +481,66 @@ def ann_ivf_index(sf_dir: str) -> pd.DataFrame:
     if stale:
         build_ivf_index(sf_dir, index_dir)
     return ivf_index_topk(index_dir, sf_dir, nprobe=16)
+
+
+def append_to_ivf_index(new_vecs: rd.Dataset, index_dir: str) -> dict:
+    """Accept new embeddings into a persisted IVF index — the ANN
+    sibling of ``dedup.append_to_exact_index``: assign each vector to
+    the FROZEN centroids (centroid drift is a rebuild decision, made
+    offline) and append per-list parquet files under the existing
+    ``list_id=K/`` partition directories. O(shard) writes, no index
+    rewrite; readers glob the partition dirs so appends are picked up
+    immediately. Appended files are cast to the schema of the existing
+    list files (embedding element type must match for the pruned read).
+
+    ``new_vecs``: Dataset with ``vec_id`` (int64) + ``embedding``
+    (list<float>) columns."""
+    import glob as _glob
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    cents_tbl = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = np.stack(
+        [np.asarray(c, dtype=np.float64) for c in cents_tbl["centroid"].to_pylist()]
+    )
+    existing = _glob.glob(os.path.join(index_dir, "lists", "list_id=*", "*.parquet"))
+    tmpl_schema = pq.read_schema(existing[0]) if existing else None
+    cents_ref = ray.put(cents)
+    stamp = uuid.uuid4().hex[:12]
+
+    def write_files(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        normed = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        lids = np.argmax(normed @ c.T, axis=1)
+        ids = df["vec_id"].to_numpy().astype("int64")
+        for lid in np.unique(lids):
+            m = lids == lid
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array(ids[m], pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs[m]]),
+                }
+            )
+            if tmpl_schema is not None:
+                tbl = tbl.cast(
+                    pa.schema([tmpl_schema.field(n) for n in tbl.column_names])
+                )
+            d = os.path.join(index_dir, "lists", f"list_id={int(lid)}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(
+                d, f"append-{stamp}-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            pq.write_table(tbl, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return pd.DataFrame({"n": [len(df)]})
+
+    n = int(
+        sum(
+            b["n"].sum()
+            for b in new_vecs.map_batches(write_files, batch_format="pandas")
+            .iter_batches(batch_format="pandas")
+        )
+    )
+    return {"appended": n}
