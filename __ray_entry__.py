@@ -590,6 +590,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-k uniform sample (distributed top-k by Knuth hash,
         # blocks × k short rows to the driver, zero shuffle)
         "sample_exact_k": traindata.sample_exact_k,
+        # sliding-window chunking (RAG-ingest shape; SQL-checked at the
+        # local gate — past the driver window, which stays reserved for
+        # the flagship gates)
+        "chunk_documents": traindata.chunk_documents,
         "neardup_clusters": cc.neardup_clusters,
         # BPE tokenizer training: ONE distributed word-count pass
         # (vocab_topk machinery, SQL-gated above) + driver merge loop
@@ -753,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": traindata.VOCAB_TOPK_SQL,
         "stratified_sample": traindata.stratified_sample_sql(),
         "sample_exact_k": traindata.sample_exact_k_sql(),
+        "chunk_documents": traindata.chunk_documents_sql(),
         "cap_per_group": traindata.cap_per_group_sql(),
         "prepare_training_data": traindata.prepare_training_data_sql(),
         "epoch_shuffle": traindata.epoch_shuffle_sql(),

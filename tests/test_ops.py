@@ -1721,3 +1721,30 @@ def test_append_to_ivf_index_vectors_searchable():
     import shutil
 
     shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def test_chunk_documents_vs_duckdb(con):
+    from transner_ray.ops import traindata
+
+    _check(traindata.chunk_documents, traindata.chunk_documents_sql(), con)
+
+
+def test_chunk_documents_overlap_property():
+    """Adjacent chunks overlap by size - stride tokens; concatenating
+    the stride-prefixes + the last chunk reconstructs the document."""
+    from transner_ray.ops import traindata
+
+    out = traindata.chunk_documents(SF, size=8, stride=5).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    one = docs.iloc[0]
+    mine = out[out["doc_id"] == one["doc_id"]].sort_values("chunk_idx")
+    words = one["text"].strip().split()
+    rebuilt: list[str] = []
+    for _, r in mine.iterrows():
+        toks = r["chunk_text"].split(" ")
+        assert r["n_tokens"] == len(toks) <= 8
+        rebuilt.extend(toks[:5])
+    # trailing overlap tokens of the final chunk
+    last = mine.iloc[-1]["chunk_text"].split(" ")
+    rebuilt.extend(last[5:])
+    assert rebuilt == words

@@ -603,3 +603,71 @@ SELECT doc_id FROM (
 )
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ sliding-window chunking
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = size - stride)
+
+import re as _re
+
+_WS_RE = _re.compile(r"\s+")
+
+
+def chunk_documents(
+    sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> rd.Dataset:
+    """Fixed-size sliding-window chunking with overlap — the
+    RAG-ingest / pretraining-window shape (contrast ``pack_chunks``,
+    which concatenates docs into budget-bounded sequences): each doc's
+    whitespace tokens become chunks of ``size`` starting every
+    ``stride`` tokens (final chunk may be short). Embarrassingly
+    parallel flat-map inside ``map_batches`` — no shuffle, no state;
+    rows (doc_id, chunk_idx, n_tokens, chunk_text)."""
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        counts: list[int] = []
+        texts: list[str] = []
+        for d, t in zip(df["doc_id"], df["text"]):
+            ws = _WS_RE.split(t.strip())
+            n = len(ws)
+            for i in range((n - 1) // stride + 1):
+                s = i * stride
+                piece = ws[s : s + size]
+                doc_ids.append(int(d))
+                idxs.append(i)
+                counts.append(len(piece))
+                texts.append(" ".join(piece))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "n_tokens": pd.Series(counts, dtype="int64"),
+                "chunk_text": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(chunks, batch_format="pandas")
+        .sort(["doc_id", "chunk_idx"])
+    )
+
+
+def chunk_documents_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(least(len(ws), CAST(i AS BIGINT) * {stride} + {size}) - CAST(i AS BIGINT) * {stride} AS BIGINT) AS n_tokens,
+       array_to_string(
+         ws[CAST(i AS INTEGER) * {stride} + 1 : CAST(i AS INTEGER) * {stride} + {size}], ' '
+       ) AS chunk_text
+FROM t, LATERAL unnest(generate_series(0, (len(ws) - 1) // {stride})) AS u(i)
+ORDER BY doc_id, chunk_idx
+"""
