@@ -594,6 +594,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local gate — past the driver window, which stays reserved for
         # the flagship gates)
         "chunk_documents": traindata.chunk_documents,
+        # metadata-filtered exact vector search (label predicate pushed
+        # to the parquet read) — SQL-checked at the local gate
+        "ann_filtered": similarity.filtered_topk,
         "neardup_clusters": cc.neardup_clusters,
         # BPE tokenizer training: ONE distributed word-count pass
         # (vocab_topk machinery, SQL-gated above) + driver merge loop
@@ -758,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": traindata.stratified_sample_sql(),
         "sample_exact_k": traindata.sample_exact_k_sql(),
         "chunk_documents": traindata.chunk_documents_sql(),
+        "ann_filtered": similarity.filtered_topk_sql(),
         "cap_per_group": traindata.cap_per_group_sql(),
         "prepare_training_data": traindata.prepare_training_data_sql(),
         "epoch_shuffle": traindata.epoch_shuffle_sql(),

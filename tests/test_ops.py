@@ -1748,3 +1748,23 @@ def test_chunk_documents_overlap_property():
     last = mine.iloc[-1]["chunk_text"].split(" ")
     rebuilt.extend(last[5:])
     assert rebuilt == words
+
+
+def test_ann_filtered_vs_duckdb(con):
+    from transner_ray.ops import similarity
+
+    _check(
+        lambda sf: similarity.filtered_topk(sf, label=1),
+        similarity.filtered_topk_sql(label=1),
+        con,
+    )
+
+
+def test_ann_filtered_respects_label():
+    from transner_ray.ops import similarity
+
+    out = similarity.filtered_topk(SF, k=10, label=2)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "label"])
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    assert all(lab[v] == 2 for v in out["vec_id"])
+    assert len(out) == 10

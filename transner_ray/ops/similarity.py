@@ -544,3 +544,65 @@ def append_to_ivf_index(new_vecs: rd.Dataset, index_dir: str) -> dict:
         )
     )
     return {"appended": n}
+
+
+def filtered_topk(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0, label: int = 1
+) -> pd.DataFrame:
+    """Metadata-FILTERED exact vector search: top-k by cosine among
+    embeddings whose ``label`` matches — the filtered-ANN shape every
+    retrieval stack needs (tenant / language / source filters). The
+    predicate is pushed TO THE READ (parquet row-group stats on the
+    label column), so non-matching row groups never leave storage —
+    'prune at the read' applied to vector search; the rest is the
+    brute-force partial-top-k merge (blocks × k short rows to the
+    driver)."""
+    q = _query_vector(sf_dir, query_vec_id)
+    q_ref = ray.put(q)
+
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=(pads.field("label") == label),
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        df = df[(df["label"] == label) & (df["vec_id"] != query_vec_id)]
+        if not len(df):
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(vecs, axis=1), 1e-12)
+        sims = (vecs @ qv) / norms
+        ids = df["vec_id"].to_numpy()
+        top = np.lexsort((ids, -sims))[:k]
+        return pd.DataFrame({"vec_id": ids[top], "cosine": sims[top]})
+
+    parts = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+    parts = parts.reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+            "vec_id": parts["vec_id"].astype("int64"),
+            "cosine": parts["cosine"].round(4),
+        }
+    )
+
+
+def filtered_topk_sql(k: int = 10, query_vec_id: int = 0, label: int = 1) -> str:
+    return f"""
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank, vec_id, round(cosine, 4) AS cosine
+FROM (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding, q.embedding) AS cosine
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}) q
+  WHERE e.vec_id != {query_vec_id} AND e.label = {label}
+)
+ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
