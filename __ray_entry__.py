@@ -312,23 +312,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from transner_ray.pipelines import kg
         from transner_ray.synth import BORN_CITIES, BORN_PERSONS, born_pages_from_documents
 
-        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-        base = f"/tmp/transner_ray_born/{tag}"
+        from transner_ray.ops.io import (
+            cache_dir_for,
+            cache_is_fresh,
+            source_fingerprint,
+            write_cache_marker,
+        )
+
+        src = f"{sf_dir}/documents.parquet"
+        base = cache_dir_for("/tmp/transner_ray_born", src)
         pages_dir = os.path.join(base, "pages")
         os.makedirs(pages_dir, exist_ok=True)
         n_shards = 4
         paths = [
             os.path.join(pages_dir, f"pages-{i:04d}.parquet") for i in range(n_shards)
         ]
-        src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
-        stale = any(
-            (not os.path.exists(p)) or os.path.getmtime(p) < src_mtime for p in paths
+        marker = os.path.join(pages_dir, "_source.json")
+        fp = source_fingerprint(src)
+        stale = (not cache_is_fresh(marker, fp)) or any(
+            not os.path.exists(p) for p in paths
         )
         if stale:
             tbl = born_pages_from_documents(sf_dir)
             per = (tbl.num_rows + n_shards - 1) // n_shards
             for i, p in enumerate(paths):
                 pq.write_table(tbl.slice(i * per, per), p)
+            write_cache_marker(marker, fp)
 
         phrases = {(p,): "PER" for p in BORN_PERSONS}
         phrases.update({(c,): "LOC" for c in BORN_CITIES})
@@ -423,23 +432,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         from transner_ray.stages.split import split_sentences_batch
 
-        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-        out_dir = f"/tmp/transner_ray_jsonl/{tag}"
+        from transner_ray.ops.io import (
+            cache_dir_for,
+            cache_is_fresh,
+            source_fingerprint,
+            write_cache_marker,
+        )
+
+        src = f"{sf_dir}/documents.parquet"
+        # cache keyed by a hash of the ABSOLUTE source path (basenames
+        # collide across corpora), reused only on fingerprint EQUALITY
+        out_dir = cache_dir_for("/tmp/transner_ray_jsonl", src)
         manifest = os.path.join(out_dir, "_manifest.json")
-        src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+        fp = source_fingerprint(src)
         # the manifest (written LAST, atomically) is the completeness
         # marker: per-shard publish is atomic but the SET is not — an
         # interrupted writer must not leave a readable partial corpus
         paths: list[str] = []
-        if os.path.exists(manifest) and os.path.getmtime(manifest) >= src_mtime:
+        if cache_is_fresh(manifest, fp):
             listed = json.load(open(manifest))["paths"]
             if all(os.path.exists(p) for p in listed):
                 paths = listed
         if not paths:
             shutil.rmtree(out_dir, ignore_errors=True)  # clear orphan shards
-            docs = pq.read_table(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-            )
+            docs = pq.read_table(src, columns=["doc_id", "text", "lang"])
             urls = pa.array(
                 [f"https://docs.example/{d:08d}" for d in docs["doc_id"].to_pylist()],
                 pa.string(),
@@ -448,10 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 {"url": urls, "text": docs["text"], "lang": docs["lang"]}
             )
             paths = write_extracted_jsonl(tbl, out_dir, num_shards=4)
-            tmp_mf = manifest + ".tmp"
-            with open(tmp_mf, "w") as f:
-                json.dump({"paths": paths}, f)
-            os.replace(tmp_mf, manifest)
+            write_cache_marker(manifest, fp, extra={"paths": paths})
         extracted = read_extracted_jsonl(paths)
         sents = extracted.map_batches(split_sentences_batch, batch_format="pyarrow")
         return sents.map_batches(

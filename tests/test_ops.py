@@ -1504,7 +1504,12 @@ def test_kg_partitioned_born_edges_vs_duckdb(con):
     import importlib
     import shutil
 
-    shutil.rmtree("/tmp/transner_ray_born/sf0.001", ignore_errors=True)
+    from transner_ray.ops.io import cache_dir_for
+
+    shutil.rmtree(
+        cache_dir_for("/tmp/transner_ray_born", f"{SF}/documents.parquet"),
+        ignore_errors=True,
+    )
     e = importlib.import_module("__ray_entry__")
     q = e.queries()["kg_partitioned_born_edges"]
     sql = e.oracle_sql()["kg_partitioned_born_edges"]
@@ -1534,8 +1539,12 @@ def test_ann_ivf_index_exact_vs_duckdb(con):
     import shutil
 
     from transner_ray.ops import similarity
+    from transner_ray.ops.io import cache_dir_for
 
-    shutil.rmtree("/tmp/transner_ray_ivf/sf0.001", ignore_errors=True)
+    shutil.rmtree(
+        cache_dir_for("/tmp/transner_ray_ivf", f"{SF}/embeddings.parquet"),
+        ignore_errors=True,
+    )
     _check(similarity.ann_ivf_index, similarity.brute_force_topk_sql(), con)
     _check(similarity.ann_ivf_index, similarity.brute_force_topk_sql(), con)  # warm index reuse
 
@@ -1545,9 +1554,13 @@ def test_ann_ivf_index_partition_pruned_recall():
     recover most of the exact top-k."""
     from transner_ray.ops import similarity
 
+    from transner_ray.ops.io import cache_dir_for
+
     exact = similarity.ann_ivf_index(SF)  # ensures the index exists
     approx = similarity.ivf_index_topk(
-        "/tmp/transner_ray_ivf/sf0.001", SF, nprobe=4
+        cache_dir_for("/tmp/transner_ray_ivf", f"{SF}/embeddings.parquet"),
+        SF,
+        nprobe=4,
     )
     rec = len(set(exact["vec_id"]) & set(approx["vec_id"])) / len(exact)
     assert rec >= 0.6
@@ -1701,7 +1714,9 @@ def test_append_to_ivf_index_vectors_searchable():
 
     from transner_ray.ops import similarity
 
-    idx_dir = "/tmp/transner_ray_ivf/sf0.001"
+    from transner_ray.ops.io import cache_dir_for
+
+    idx_dir = cache_dir_for("/tmp/transner_ray_ivf", f"{SF}/embeddings.parquet")
     similarity.ann_ivf_index(SF)  # ensures the index exists (build-once)
     before = similarity.ivf_index_topk(idx_dir, SF, k=5, query_vec_id=0, nprobe=16)
     assert 1_000_000 not in set(before["vec_id"])
@@ -1768,3 +1783,59 @@ def test_ann_filtered_respects_label():
     lab = dict(zip(emb["vec_id"], emb["label"]))
     assert all(lab[v] == 2 for v in out["vec_id"])
     assert len(out) == 10
+
+
+def test_kmeans_checkpoint_path_equals_default(tmp_path):
+    """The opt-in parquet checkpoint (iterated dataset re-read from
+    the checkpoint each Lloyd pass, nothing pinned in the object
+    store) is bit-identical to the default re-read-source path —
+    int64-quantized sums are order-free across any block split."""
+    from transner_ray.ops import similarity
+
+    a = similarity.kmeans_embeddings(SF).to_pandas()
+    b = similarity.kmeans_embeddings(
+        SF, checkpoint_dir=str(tmp_path / "kmeans_ck")
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_checkpoint_path_equals_default(tmp_path):
+    """Feature-dataset parquet checkpoint (vs materialize()) leaves
+    the verified near-dup pairs identical: banding, prefilter and
+    verify are per-row/bucketed ops insensitive to block splits."""
+    from transner_ray.ops import dedup
+
+    a = dedup.minhash_dedup(SF).to_pandas()
+    b = dedup.minhash_dedup(
+        SF, checkpoint_dir=str(tmp_path / "mh_feats")
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cache_dir_keyed_by_abs_path_and_fingerprint(tmp_path):
+    """Two corpora sharing a dir BASENAME must not share a /tmp cache,
+    and reuse requires fingerprint EQUALITY — an older-mtime
+    regeneration (which mtime-ordering wrongly accepts) goes stale."""
+    from transner_ray.ops.io import (
+        cache_dir_for,
+        cache_is_fresh,
+        source_fingerprint,
+        write_cache_marker,
+    )
+
+    a = str(tmp_path / "a" / "sf0.01" / "documents.parquet")
+    b = str(tmp_path / "b" / "sf0.01" / "documents.parquet")
+    assert cache_dir_for("/tmp/x", a) != cache_dir_for("/tmp/x", b)
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"12345")
+    fp = source_fingerprint(str(src))
+    marker = str(tmp_path / "marker.json")
+    write_cache_marker(marker, fp)
+    assert cache_is_fresh(marker, source_fingerprint(str(src)))
+
+    # regenerate with an OLDER mtime (mtime-ordering would reuse)
+    src.write_bytes(b"1234500")
+    st = os.stat(src)
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns - 10_000_000_000))
+    assert not cache_is_fresh(marker, source_fingerprint(str(src)))

@@ -190,3 +190,28 @@ def test_run_partitioned_jsonl_matches_parquet(workdir, tmp_path):
     )
     assert r_jl2["ran"] == [] and r_jl2["skipped"] == [0, 1, 2]
     pd.testing.assert_frame_equal(_edges(r_jl2["out_dir"]), _edges(r_pq["out_dir"]))
+
+
+def test_legacy_manifest_upgraded_on_accept(workdir):
+    """A pre-fingerprint manifest is accepted ONCE and immediately
+    rewritten with the current fingerprint, so a file later
+    regenerated in place invalidates the partition — the legacy hole
+    is bounded to the first post-upgrade rerun, never indefinite."""
+    kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=3)
+    mp = os.path.join(workdir["ckpt"], "manifest", "part-0000.json")
+    m = json.load(open(mp))
+    m["input_fingerprint"] = []  # simulate a pre-upgrade manifest
+    with open(mp, "w") as f:
+        json.dump(m, f)
+
+    r2 = kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=3)
+    assert 0 in r2["skipped"]
+    m2 = json.load(open(mp))
+    assert m2["input_fingerprint"], "legacy accept must rewrite the fingerprint"
+
+    # the upgraded manifest now catches an in-place regeneration
+    f0 = m2["input_files"][0]
+    st = os.stat(f0)
+    os.utime(f0, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    r3 = kg.run_partitioned(workdir["paths"], workdir["ckpt"], num_partitions=3)
+    assert 0 in r3["ran"]

@@ -345,7 +345,13 @@ def _parquet_col_max(path: str, col: str) -> int:
         return max(maxes)
     import pyarrow.compute as pc
 
-    return pc.max(f.read(columns=[col]).column(col)).as_py()
+    out = pc.max(f.read(columns=[col]).column(col)).as_py()
+    if out is None:
+        # zero row groups / all-null column: pc.max yields null, and
+        # returning None would surface downstream as a cryptic
+        # TypeError (e.g. doc_chain_components' `max_id + 1`)
+        raise ValueError(f"{path}: column {col!r} has no rows to take a max over")
+    return out
 
 
 # ------------------------------------------------------ query entries

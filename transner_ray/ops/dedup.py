@@ -27,10 +27,12 @@ per key:
   column (uint64 array bytes — Acero hash joins reject list columns
   but pass binary through) and ``Dataset.join``ed back to the pair
   list (twice: doc_a, doc_b). No text and no driver-side corpus
-  materialization anywhere — the feature dataset is ``materialize()``d
-  once so the banding pass and the two verify joins share it; a
-  resumable 100 TB job would checkpoint it to parquet instead (the
-  run_partitioned pattern), same dataflow.
+  materialization anywhere — the feature dataset is shared by the
+  banding pass and the two verify joins: ``materialize()``d at
+  interactive scale, or parquet-checkpointed via
+  ``checkpoint_dir=`` (write once, atomic publish, re-read per
+  consumer — the run_partitioned pattern) for a resumable 100 TB job
+  where object-store pinning across stages would spill.
 * SimHash: 64-bit signatures; candidates blocked on
   ``max_hamming + 1`` equal-width bands (pigeonhole: hamming ≤ h ⇒ at
   least one of h+1 bands identical → full recall), verified by exact
@@ -633,10 +635,19 @@ def _minhash_lsh_pairs(
     jaccard_threshold: float,
     batch_featurizer,
     est_margin_sigma: float = 3.0,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
-    """Shared MinHash-LSH core: featurize once (materialized feature
-    dataset shared by the banding pass and the verify joins) → band →
+    """Shared MinHash-LSH core: featurize once (feature dataset shared
+    by the banding pass and the verify joins) → band →
     estimate-prefiltered pairs → exact-Jaccard verify.
+
+    ``checkpoint_dir`` opts the shared feature dataset into a PARQUET
+    checkpoint (write once, atomic publish, re-read per consumer —
+    the run_partitioned pattern) instead of ``materialize()``: a
+    100 TB featurize pinned in the object store for the lifetime of
+    the banding + verify stages is a spill bomb, while the checkpoint
+    is released storage-side and a resumed run can reuse it. The
+    default stays in-memory for interactive-scale corpora.
 
     ``est_margin_sigma``: how far below the threshold the signature
     estimate may fall before a candidate is pruned. 3σ (default) keeps
@@ -649,7 +660,18 @@ def _minhash_lsh_pairs(
     npb = _pair_buckets(n_docs)
     feats = docs.map_batches(
         _featurize_batch(batch_featurizer), batch_format="pyarrow"
-    ).materialize()
+    )
+    if checkpoint_dir is not None:
+        import shutil
+
+        tmp = checkpoint_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        feats.write_parquet(tmp)
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        os.replace(tmp, checkpoint_dir)
+        feats = rd.read_parquet(checkpoint_dir)
+    else:
+        feats = feats.materialize()
     bands = feats.map_batches(_make_minhash_band_rows(npb), batch_format="pyarrow")
     pairs = _pairs_from_band_rows(
         bands, est_jaccard_threshold(jaccard_threshold, est_margin_sigma)
@@ -659,14 +681,21 @@ def _minhash_lsh_pairs(
     )
 
 
-def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.5) -> rd.Dataset:
+def minhash_dedup(
+    sf_dir: str,
+    jaccard_threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+) -> rd.Dataset:
     """Near-dup pairs by word-3-shingle MinHash-LSH with exact Jaccard
-    verification; returns (doc_a, doc_b, jaccard) sorted."""
+    verification; returns (doc_a, doc_b, jaccard) sorted.
+    ``checkpoint_dir``: see ``_minhash_lsh_pairs`` (parquet checkpoint
+    for the shared feature dataset instead of object-store pinning)."""
     return _minhash_lsh_pairs(
         _read_docs(sf_dir, ["doc_id", "text"]),
         _docs_rows(sf_dir),
         jaccard_threshold,
         _word_shingle_hashes_batch,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -1269,7 +1298,8 @@ def embedding_neardup_pairs(sf_dir: str, cos_threshold: float = 0.9) -> rd.Datas
     minimal SRP margin (δ ≤ 0.2): the SRP bucket is PRESERVED by
     construction (single-probe recall = 1 for planted pairs, unlike a
     random nudge which loses ~sin-angle per plane), while
-    cosine ≥ 1/sqrt(1+δ²) ≥ 0.980 > threshold and < 1 whenever δ > 0 —
+    cosine ≥ sqrt(1-δ²) ≥ 0.9798 > threshold and < 1 whenever δ > 0
+    (minimum of (1+δu₀)/sqrt(1+2δu₀+δ²) over unit u is at u₀ = -δ) —
     a true near-miss through the exact-verify matmul. Expected pair
     set = every vec_id, trivially SQL-derivable. δ's sign-safety
     margin (factor 2) dwarfs float error unless a vector's plane
@@ -1612,21 +1642,34 @@ def dedup_incremental(sf_dir: str) -> rd.Dataset:
     the EVEN doc_ids (indexed once under /tmp, mtime-guarded); the
     incoming shard is the whole table re-crawled with shifted ids
     (doc_id + n) — every even text is a re-crawl duplicate the index
-    must drop, every odd text is new and kept."""
-    from .io import parquet_num_rows
+    must drop, every odd text is new and kept.
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    index_dir = f"/tmp/transner_ray_dedup_index/{tag}"
+    Cache keying: the index dir is keyed by a HASH of the absolute
+    source path (corpora sharing a dir basename must not share an
+    index) and reused only on source-fingerprint EQUALITY — an
+    mtime-preserving copy or older-mtime regeneration rebuilds instead
+    of serving a stale/foreign index. The marker is written AFTER the
+    index publish, so a crash between the two rebuilds next run."""
+    from .io import (
+        cache_dir_for,
+        cache_is_fresh,
+        parquet_num_rows,
+        source_fingerprint,
+        write_cache_marker,
+    )
+
     src = f"{sf_dir}/documents.parquet"
+    index_dir = cache_dir_for("/tmp/transner_ray_dedup_index", src)
     n = parquet_num_rows(src) or 0
-    meta = os.path.join(index_dir, "meta.json")
-    if (not os.path.exists(meta)) or os.path.getmtime(meta) < os.path.getmtime(src):
+    marker = os.path.join(index_dir, "source.json")
+    if not cache_is_fresh(marker, source_fingerprint(src)):
         from .agg import scaled_num_buckets
 
         even = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
             lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas"
         )
         build_exact_index(even, index_dir, num_buckets=scaled_num_buckets(n))
+        write_cache_marker(marker, source_fingerprint(src))
 
     def shift(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["doc_id", "text"]].copy()

@@ -22,6 +22,53 @@ _SMALL_INPUT_BYTES = 512 * 1024 * 1024
 _MIN_BLOCKS = 16  # keep map-stage parallelism for compute-heavy ops
 
 
+def cache_dir_for(base: str, *source_paths: str) -> str:
+    """Deterministic /tmp cache directory for artifacts derived from
+    ``source_paths``: keyed by a hash of the ABSOLUTE paths, never a
+    basename — two corpora whose directories share a basename (e.g.
+    ``a/sf0.01`` and ``b/sf0.01``) must not collide on one cache.
+    Staleness is the CALLER's job via ``source_fingerprint`` EQUALITY
+    (mtime *ordering* wrongly reuses a cache against an
+    mtime-preserving copy or an older-mtime regeneration)."""
+    import hashlib
+
+    key = "\x00".join(os.path.abspath(p) for p in source_paths)
+    return os.path.join(base, hashlib.sha1(key.encode("utf-8")).hexdigest()[:16])
+
+
+def source_fingerprint(path: str) -> list:
+    """[abspath, size, mtime_ns] content fingerprint of a cache's
+    source file — stored in the cache and compared for EQUALITY on
+    reuse (the ``state.checkpoint.fingerprint_files`` convention)."""
+    st = os.stat(path)
+    return [os.path.abspath(path), st.st_size, st.st_mtime_ns]
+
+
+def cache_is_fresh(marker_path: str, fingerprint: list) -> bool:
+    """True iff ``marker_path`` exists and records exactly
+    ``fingerprint`` (written by ``write_cache_marker``)."""
+    import json
+
+    try:
+        with open(marker_path) as f:
+            return json.load(f).get("source") == fingerprint
+    except (OSError, ValueError):
+        return False
+
+
+def write_cache_marker(marker_path: str, fingerprint: list, extra: dict | None = None) -> None:
+    """Atomically publish a cache completeness marker carrying the
+    source fingerprint (written LAST, after the cached artifact —
+    per-file publishes are atomic but the artifact SET is not)."""
+    import json
+
+    payload = {"source": fingerprint, **(extra or {})}
+    tmp = marker_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, marker_path)
+
+
 def parquet_num_rows(path: str) -> int | None:
     """Row count from the parquet FOOTER only (no data read, no Ray
     execution) — the cheap input-size probe the scaled-fan-out helpers

@@ -195,7 +195,10 @@ def _kmeans_assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def kmeans_embeddings(
-    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    checkpoint_dir: str | None = None,
 ) -> "rd.Dataset":
     """(vec_id, cluster): Lloyd's k-means FIT distributed over the
     embedding table — the clustering counterpart to ivf_topk's
@@ -254,7 +257,32 @@ def kmeans_embeddings(
     cents = _emb_matrix(init.column("embedding"))[:k].copy()
     d = cents.shape[1]
 
-    emb = _read_emb(sf_dir).materialize()
+    # The iterated dataset is NEVER pinned in the object store across
+    # Lloyd passes (a full-corpus materialize() held for `iters`
+    # rounds is the 100 TB spill bomb): each pass re-plans a fresh
+    # streaming read and releases its blocks as the partials fold.
+    # The source here is already pruned parquet, so the default
+    # re-reads IT per pass; ``checkpoint_dir`` opts into writing the
+    # pruned columns once (atomic publish, run_partitioned pattern)
+    # and iterating over the checkpoint instead — for callers whose
+    # embedding dataset is a derived projection/filter of a wider
+    # table that would otherwise recompute every iteration.
+    if checkpoint_dir is not None:
+        import shutil
+
+        tmp = checkpoint_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        _read_emb(sf_dir).write_parquet(tmp)
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        os.replace(tmp, checkpoint_dir)
+
+        def emb_ds() -> "rd.Dataset":
+            return rd.read_parquet(checkpoint_dir, columns=["vec_id", "embedding"])
+
+    else:
+
+        def emb_ds() -> "rd.Dataset":
+            return _read_emb(sf_dir)
 
     def make_partials(cents_now: np.ndarray):
         def partials(t: pa.Table) -> pa.Table:
@@ -278,7 +306,7 @@ def kmeans_embeddings(
         return partials
 
     for _ in range(iters):
-        parts = emb.map_batches(
+        parts = emb_ds().map_batches(
             make_partials(cents), batch_format="pyarrow", batch_size=None
         ).to_pandas()  # blocks × ≤k short rows
         new = cents.copy()
@@ -303,7 +331,7 @@ def kmeans_embeddings(
             }
         )
 
-    return emb.map_batches(assign_batch, batch_format="pyarrow").sort("vec_id")
+    return emb_ds().map_batches(assign_batch, batch_format="pyarrow").sort("vec_id")
 
 
 def kmeans_oracle(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
@@ -470,16 +498,27 @@ def ivf_index_topk(
 
 
 def ann_ivf_index(sf_dir: str) -> pd.DataFrame:
-    """Driver-gate entry: build (or reuse — mtime stale guard) the
-    persisted index under /tmp, query in EXACT mode (nprobe = all
-    lists ≡ brute force → shares its SQL oracle). Approximate-nprobe
-    recall is pytest-gated."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    index_dir = f"/tmp/transner_ray_ivf/{tag}"
-    src_mtime = os.path.getmtime(f"{sf_dir}/embeddings.parquet")
-    stale = (not os.path.isdir(index_dir)) or os.path.getmtime(index_dir) < src_mtime
-    if stale:
+    """Driver-gate entry: build (or reuse) the persisted index under
+    /tmp, query in EXACT mode (nprobe = all lists ≡ brute force →
+    shares its SQL oracle). Approximate-nprobe recall is pytest-gated.
+
+    Cache keyed by a hash of the absolute source path, reused only on
+    source-fingerprint EQUALITY (see ``io.cache_dir_for``); the marker
+    is written after the build so an interrupted build rebuilds."""
+    from .io import (
+        cache_dir_for,
+        cache_is_fresh,
+        source_fingerprint,
+        write_cache_marker,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    index_dir = cache_dir_for("/tmp/transner_ray_ivf", src)
+    marker = os.path.join(index_dir, "source.json")
+    fp = source_fingerprint(src)
+    if not cache_is_fresh(marker, fp):
         build_ivf_index(sf_dir, index_dir)
+        write_cache_marker(marker, fp)
     return ivf_index_topk(index_dir, sf_dir, nprobe=16)
 
 

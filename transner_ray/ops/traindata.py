@@ -64,23 +64,44 @@ def _wordgrams_batch(texts: list[str], n: int) -> list[np.ndarray]:
 
 
 def _eval_gram_ref(docs: rd.Dataset, n: int, eval_mod: int):
-    """Broadcast handle for the eval slice's unique gram hashes: the
-    eval side is small by construction (take_all on the EVAL slice
-    only; the train side never materializes), built once and
-    ``ray.put`` once."""
+    """Broadcast handle for the eval slice's unique gram hashes, built
+    DISTRIBUTEDLY: each block filters its own eval rows and reduces
+    them to one binary blob of block-unique 8-byte gram hashes — eval
+    TEXT never leaves the workers and never reaches the driver. The
+    driver's fold is ``np.unique`` over the concatenated blob arrays
+    (the ``relational._bloom_from_key_batches`` shape with exact
+    hashes instead of a bitset), then one ``ray.put``.
+
+    Driver memory is 8 bytes × |unique eval grams| — the benchmark
+    side of a contamination check (suites are MBs against a 100 TB
+    train side). An eval set whose HASH union outgrew the driver would
+    swap this exact array for a Bloom filter built by the same fold
+    (``relational._bloom_from_key_batches``) plus the exact re-check
+    backstop; same dataflow, same probe site."""
     import pyarrow as pa
 
-    def is_eval(t: pa.Table) -> pa.Table:
+    def gram_partial(t: pa.Table) -> pa.Table:
         # this pyarrow has no modulo kernel; numpy over the zero-copy
         # int64 column is equivalent and allocation-free for the mask
         mask = (t["doc_id"].to_numpy(zero_copy_only=False) % eval_mod) == 0
-        return t.filter(pa.array(mask))
+        if not mask.any():
+            return pa.table({"grams": pa.array([], pa.binary())})
+        texts = t.filter(pa.array(mask)).column("text").to_pylist()
+        per_doc = _wordgrams_batch(texts, n)
+        u = (
+            np.unique(np.concatenate(per_doc))
+            if per_doc
+            else np.zeros(0, dtype=np.uint64)
+        )
+        return pa.table({"grams": pa.array([u.tobytes()], pa.binary())})
 
-    eval_rows = docs.map_batches(is_eval, batch_format="pyarrow").take_all()
+    # batch_size=None → one partial blob per BLOCK, not per 1k rows
+    blobs = docs.map_batches(
+        gram_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()["grams"]
+    parts = [np.frombuffer(b, dtype=np.uint64) for b in blobs]
     eval_grams = (
-        np.unique(np.concatenate(_wordgrams_batch([r["text"] for r in eval_rows], n)))
-        if eval_rows
-        else np.zeros(0, dtype=np.uint64)
+        np.unique(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.uint64)
     )
     return ray.put(eval_grams)
 

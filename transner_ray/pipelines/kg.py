@@ -316,11 +316,27 @@ def run_partitioned(
             # legacy-accept: manifests written before the fingerprint
             # field existed carry none — trust the file listing alone
             # rather than silently recomputing every pre-upgrade
-            # partition on the first rerun after the format change
+            # partition on the first rerun after the format change.
+            # The accept is one-shot: the manifest is rewritten with
+            # the CURRENT fingerprint immediately, so a file
+            # regenerated in place after this rerun invalidates the
+            # partition like any other — exposure is bounded to the
+            # first post-upgrade rerun, never indefinite.
             fp = m.get("input_fingerprint")
             if m.get("input_files") == files and (
                 not fp or fp == fingerprint_files(files)
             ):
+                if not fp:
+                    store.write_manifest(
+                        PartitionManifest(
+                            partition=pid,
+                            input_files=files,
+                            rows=m.get("rows", {}),
+                            wall_sec=m.get("wall_sec", 0.0),
+                            status=m.get("status", "complete"),
+                            input_fingerprint=fingerprint_files(files),
+                        )
+                    )
                 skipped.append(pid)
                 continue
             os.remove(store.manifest_path(pid))  # stale → re-run below

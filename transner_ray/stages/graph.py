@@ -21,7 +21,6 @@
 from __future__ import annotations
 
 import zlib
-from collections import Counter
 
 import pyarrow as pa
 
@@ -103,22 +102,41 @@ def make_entity_partials(num_buckets: int = NUM_AGG_BUCKETS):
     scaled with the triple count by run_partitioned, floor 64."""
 
     def entity_partials_batch(batch: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        cols = [
-            batch.column(c).to_pylist()
-            for c in ("subj_id", "subj", "subj_type", "obj_id", "obj", "obj_type")
-        ]
-        for sid, s, st, oid, o, ot in zip(*cols):
-            counts[(sid, s, st)] += 1
-            counts[(oid, o, ot or "")] += 1
-        keys = list(counts)
+        # vectorized combiner: this is the hot path of the wide phase
+        # (every triple endpoint flows through it), so the per-block
+        # collapse is ONE pandas groupby — never a Python loop over
+        # rows. Only the post-groupby UNIQUE keys see Python (crc32
+        # bucketing), and those are ≤ distinct-entities-per-block.
+        import pandas as pd
+
+        sub = batch.select(["subj_id", "subj", "subj_type"]).rename_columns(
+            ["entity_id", "surface", "type"]
+        )
+        obj = batch.select(["obj_id", "obj", "obj_type"]).rename_columns(
+            ["entity_id", "surface", "type"]
+        )
+        objdf = obj.to_pandas()
+        # obj side: None type → "" (objects may be untyped values);
+        # subj side keeps None as-is (groupby dropna=False preserves it)
+        objdf["type"] = objdf["type"].fillna("")
+        df = pd.concat([sub.to_pandas(), objdf], ignore_index=True)
+        g = (
+            df.groupby(["entity_id", "surface", "type"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="n")
+        )
+        bmap = {
+            u: _bucket(u, num_buckets) for u in pd.unique(g["entity_id"])
+        }
         return pa.table(
             {
-                "bucket": pa.array([_bucket(k[0], num_buckets) for k in keys], pa.int32()),
-                "entity_id": pa.array([k[0] for k in keys], pa.string()),
-                "surface": pa.array([k[1] for k in keys], pa.string()),
-                "type": pa.array([k[2] for k in keys], pa.string()),
-                "n": pa.array([counts[k] for k in keys], pa.int64()),
+                "bucket": pa.array(
+                    g["entity_id"].map(bmap).to_numpy(dtype="int32"), pa.int32()
+                ),
+                "entity_id": pa.array(g["entity_id"], pa.string()),
+                "surface": pa.array(g["surface"], pa.string()),
+                "type": pa.array(g["type"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype="int64"), pa.int64()),
             },
             schema=ENTITY_PARTIALS,
         )
@@ -189,37 +207,40 @@ def make_edge_partials(num_buckets: int = NUM_AGG_BUCKETS):
     K-1 smaller urls in its own block) — oracle-identical."""
 
     def edge_partials_batch(batch: pa.Table) -> pa.Table:
-        weight: Counter = Counter()
-        sources: dict[tuple, set] = {}
-        for sid, p, oid, url in zip(
-            batch.column("subj_id").to_pylist(),
-            batch.column("pred").to_pylist(),
-            batch.column("obj_id").to_pylist(),
-            batch.column("url").to_pylist(),
-        ):
-            k = (sid, p, oid)
-            weight[k] += 1
-            sources.setdefault(k, set()).add(url)
-        buckets, sids, preds, oids, weights, srcs = [], [], [], [], [], []
-        for k, w in weight.items():
-            b = _bucket(k[0], num_buckets)
-            for i, src in enumerate(sorted(sources[k])[:MAX_EDGE_SOURCES]):
-                buckets.append(b)
-                sids.append(k[0])
-                preds.append(k[1])
-                oids.append(k[2])
-                # carry the edge weight on the first source row only, so the
-                # reduce can sum without double counting
-                weights.append(w if i == 0 else 0)
-                srcs.append(src)
+        # vectorized combiner (the triple-shaped hot path): weight per
+        # edge = one groupby.size; the capped source sample = one
+        # drop_duplicates + stable sort + per-edge cumcount — no
+        # Python loop over rows, crc32 only over unique subj_ids.
+        import numpy as np
+        import pandas as pd
+
+        df = batch.select(["subj_id", "pred", "obj_id", "url"]).to_pandas()
+        keys = ["subj_id", "pred", "obj_id"]
+        w = df.groupby(keys, sort=False, dropna=False).size().rename("w")
+        dd = df.drop_duplicates(keys + ["url"]).sort_values(
+            keys + ["url"], kind="mergesort"
+        )
+        rank = dd.groupby(keys, sort=False, dropna=False).cumcount()
+        keep = (rank < MAX_EDGE_SOURCES).to_numpy()
+        dd = dd[keep]
+        first = rank.to_numpy()[keep] == 0
+        dd = dd.join(w, on=keys)
+        # carry the edge weight on the first (url-sorted) source row
+        # only, so the reduce can sum without double counting
+        weights = np.where(first, dd["w"].to_numpy(), 0).astype("int64")
+        bmap = {
+            u: _bucket(u, num_buckets) for u in pd.unique(dd["subj_id"])
+        }
         return pa.table(
             {
-                "bucket": pa.array(buckets, pa.int32()),
-                "subj_id": pa.array(sids, pa.string()),
-                "pred": pa.array(preds, pa.string()),
-                "obj_id": pa.array(oids, pa.string()),
+                "bucket": pa.array(
+                    dd["subj_id"].map(bmap).to_numpy(dtype="int32"), pa.int32()
+                ),
+                "subj_id": pa.array(dd["subj_id"], pa.string()),
+                "pred": pa.array(dd["pred"], pa.string()),
+                "obj_id": pa.array(dd["obj_id"], pa.string()),
                 "weight": pa.array(weights, pa.int64()),
-                "source": pa.array(srcs, pa.string()),
+                "source": pa.array(dd["url"], pa.string()),
             },
             schema=EDGE_PARTIALS,
         )
