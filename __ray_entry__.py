@@ -292,6 +292,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         ).sort(["subj_id", "obj_id"])
 
+    def kg_born_edges_joinlink(sf_dir: str):
+        """kg_born_edges through the SHUFFLE-JOIN linker
+        (linking.link_triples_via_join — SURVEY.md §2.4 J-new plan B,
+        the path a broadcast-too-big alias table forces): two
+        left-outer ``Dataset.join``s against the alias table on the
+        normalized surfaces, then the same edge reduce. Born surfaces
+        are alias-absent, so canon is null and each endpoint resolves
+        to its own normalized surface — identical to the broadcast
+        linker, sharing the born-edge SQL oracle."""
+        import pyarrow as pa
+
+        from transner_ray.linking import link_triples_via_join
+        from transner_ray.pipelines import kg
+
+        linked = link_triples_via_join(_born_spine(sf_dir), num_partitions=4)
+        edges = kg.edges_dataset(linked, settle=True)
+        return edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "subj_id": t["subj_id"],
+                    "pred": t["pred"],
+                    "obj_id": t["obj_id"],
+                    "weight": t["weight"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).sort(["subj_id", "obj_id"])
+
     def kg_partitioned_born_edges(sf_dir: str):
         """THE resumable job (kg.run_partitioned: per-partition lineage
         manifests -> phase-2 reduce -> atomic rename) under the
@@ -474,11 +502,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # NOTE on dict ORDER: the driver's correctness gate checks the
     # FIRST 50 keys in dict order. The flagship KG gates, IR,
-    # quantiles, joins, ANN, k-means, multimodal and the dedup suite
-    # therefore come first; the relational/textstats rows (driver-green
-    # and unchanged since round 1, see CORRECTNESS_r0{1,2,3}.json) sit
-    # past position 50 where the local gate (scripts/check_queries.py)
-    # still runs all of them.
+    # quantiles, joins, ANN, k-means, multimodal, the dedup suite and
+    # the traindata suite come first. ROTATION RULE (round-4 verdict):
+    # any query that has never appeared in a driver window — or whose
+    # implementation changed this round — must be rotated into the
+    # first 50 before new work lands; long-stable rows (driver-green
+    # in CORRECTNESS_r01-r04) rotate out to make room, and the local
+    # gate (scripts/check_queries.py) still runs ALL of them each
+    # session. Round-5 rotation: in = kg_born_edges_joinlink (new),
+    # decontaminate (rebuilt distributed eval-gram), epoch_shuffle,
+    # vocab_topk, sample_exact_k, chunk_documents, ann_filtered,
+    # bpe_merges, neardup_clusters; out = r04-checked rows-only
+    # entries whose SQL siblings stay in-window, plus bigram_topk /
+    # entity_pagerank (r04-green, machinery gated by in-window kin).
     return {
         # ---- KG pipeline stages (the north-star; documents-derived
         # variants are SQL-checked, synthetic-pages spine rows-only) ----
@@ -491,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_born_triples": kg_born_triples,
         "kg_born_edges": kg_born_edges,
         "kg_born_edges_emblink": kg_born_edges_emblink,
+        "kg_born_edges_joinlink": kg_born_edges_joinlink,
         "kg_partitioned_born_edges": kg_partitioned_born_edges,
         "kg_born_entities": kg_born_entities,
         # PageRank's quantized loop SQL-gated over the born graph
@@ -504,33 +541,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "born_entity_pagerank": lambda sf: pagerank_mod.entity_pagerank_over(
             kg_born_edges(sf), force_distributed=True, iters=5, num_buckets=4
         ),
-        "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
-        "kg_triples": _kg_linked,
-        # (kg_sentences / kg_entities / kg_edges / kg_edges_emblink —
-        # the rows-only synthetic-pages variants of machinery that IS
-        # SQL-gated via kg_sentences_docs / kg_born_entities /
-        # kg_born_edges / kg_born_edges_emblink — sit past position 50
-        # to keep flagship SQL gates in-window)
+        # (kg_mentions / kg_triples / kg_sentences / kg_entities /
+        # kg_edges / kg_edges_emblink — the rows-only synthetic-pages
+        # variants of machinery that IS SQL-gated via the born/docs
+        # gates above — sit past position 50, driver-green in r01-r04)
         # ---- IR indexing + retrieval (all SQL-checked) ----
         "inverted_index": indexing.inverted_index,
         "tfidf_top_terms": indexing.tfidf_top_terms,
         "bm25_topk": indexing.bm25_topk,
-        "bigram_topk": indexing.bigram_topk,
         # exact distinct-terms sibling of the HLL sketch (SQL-checked)
         "distinct_terms": indexing.distinct_terms,
         # Misra-Gries candidates + exact verify pass → SQL-checkable
         "heavy_hitter_terms": sketches.heavy_hitter_terms,
-        # HLL vocabulary-size sketch; rows-only (no SQL computes an
-        # HLL), pinned by exact-merge + accuracy-bound pytest oracles
-        "approx_distinct_tokens": sketches.approx_distinct_tokens,
         # ---- exact distributed quantiles (SQL-checked) ----
         "token_count_quantiles": quantiles.token_count_quantiles,
         "event_value_quantiles": quantiles.event_value_quantiles,
-        # mergeable-histogram sketch for continuous columns; rows-only
-        # (no SQL computes the sketch) — error-bound + block-split
-        # invariance pinned in pytest; exact siblings above are the
-        # SQL-gated definition
-        "approx_value_quantiles": quantiles.approx_value_quantiles,
         # ---- custom time-series joins (SQL-checked) ----
         "asof_last_order": joins.last_order_before_event,
         "range_join_windows": joins.range_join_windows,
@@ -544,8 +569,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nprobe pruning AT THE READ); exact mode shares the brute
         # force oracle, approximate recall pytest-gated
         "ann_ivf_index": similarity.ann_ivf_index,
+        # metadata-filtered exact vector search (label predicate pushed
+        # to the parquet read) — SQL-checked
+        "ann_filtered": similarity.filtered_topk,
         # distributed Lloyd fit; rows-only (iterative float fit has no
-        # SQL), pinned by exact-equality sequential oracle in pytest
+        # SQL), pinned by exact-equality sequential oracle in pytest;
+        # round-5: iterated dataset re-read per pass (no materialize)
         "kmeans_embeddings": similarity.kmeans_embeddings,
         # ---- multimodal plumbing (all SQL-checked) ----
         "media_metadata": multimodal.media_metadata,
@@ -556,10 +585,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": multimodal.frame_sample,
         # ---- dedup suite ----
         "exact_dedup": dedup.exact_dedup,                 # SQL-checked
-        "minhash_dedup": dedup.minhash_dedup,             # rows-only (sketch)
-        "simhash_dedup": dedup.simhash_dedup,             # rows-only (sketch)
-        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup, # rows-only (sketch)
-        "embedding_neardup": dedup.embedding_neardup,     # rows-only (LSH)
+        # (minhash_dedup / simhash_dedup / ngram_jaccard_dedup /
+        # embedding_neardup — the rows-only production entries of
+        # machinery gated by the *_selfdup/_neardup SQL pairs below —
+        # sit past position 50, driver-green in r04)
         # SQL-checked gates for the sketch machinery: the same
         # pipelines over a self-dup-augmented corpus, exact-dup slice
         # (planted dup of EVERY row → SQL text/vector-equality oracle)
@@ -584,38 +613,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chain-graph gate is SQL-checked; the minhash-fed variant is
         # rows-only (sketch upstream) with a union-find pytest oracle
         "doc_chain_components": cc.doc_chain_components,
-        # (neardup_clusters — rows-only sibling of the SQL-gated
-        # doc_chain_components — sits past position 50)
-        # graph analytics over the constructed KG (rows-only: iterative
-        # float fit; exact-equality + float-reference pytest oracles)
-        "entity_pagerank": pagerank_mod.entity_pagerank,
+        "neardup_clusters": cc.neardup_clusters,
+        # ---- training-data curation suite ----
         # flagship composite: train split → quality → dedup keeper →
         # decontaminate → pack, in one streaming pass + one reduce
         "prepare_training_data": traindata.prepare_training_data,
         # ---- sequence packing (distributed prefix scan; SQL-checked) ----
         "pack_chunks": pack.pack_chunks,
-        # ---------- position >50: long-stable rows below this line get
-        # their driver verification from CORRECTNESS_r01-r03; the local
-        # gate still checks every one of them each session ----------
-        "epoch_shuffle": traindata.epoch_shuffle,
+        # round-5 rebuild (distributed eval-gram fold) — SQL-checked
         "decontaminate": traindata.decontaminate,
+        "epoch_shuffle": traindata.epoch_shuffle,
         "vocab_topk": traindata.vocab_topk,
         # exact-k uniform sample (distributed top-k by Knuth hash,
         # blocks × k short rows to the driver, zero shuffle)
         "sample_exact_k": traindata.sample_exact_k,
-        # sliding-window chunking (RAG-ingest shape; SQL-checked at the
-        # local gate — past the driver window, which stays reserved for
-        # the flagship gates)
+        # sliding-window chunking (RAG-ingest shape; SQL-checked)
         "chunk_documents": traindata.chunk_documents,
-        # metadata-filtered exact vector search (label predicate pushed
-        # to the parquet read) — SQL-checked at the local gate
-        "ann_filtered": similarity.filtered_topk,
-        "neardup_clusters": cc.neardup_clusters,
         # BPE tokenizer training: ONE distributed word-count pass
         # (vocab_topk machinery, SQL-gated above) + driver merge loop
         # over the vocab-scale table; rows-only (iterative merges are
-        # not SQL-expressible), exact-equality pytest oracle
+        # not SQL-expressible), exact-equality pytest oracle +
+        # in-window SQL sibling vocab_topk
         "bpe_merges": bpe_mod.bpe_train,
+        # ---------- position >50: long-stable rows below this line get
+        # their driver verification from CORRECTNESS_r01-r04; the local
+        # gate still checks every one of them each session ----------
+        "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
+        "kg_triples": _kg_linked,
         "kg_sentences": _kg_sentences_only,
         "kg_entities": lambda sf: kg.entities_dataset(_kg_linked(sf), settle=True),
         "kg_edges": lambda sf: kg.edges_dataset(_kg_linked(sf), settle=True),
@@ -623,6 +647,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges_emblink": lambda sf: kg.edges_dataset(
             kg.linked_triples_dataset(_kg_spine(sf), link_mode="embedding"), settle=True
         ),
+        # graph analytics over the constructed KG (rows-only: iterative
+        # float fit; exact-equality + float-reference pytest oracles;
+        # machinery SQL-gated via in-window born_entity_pagerank)
+        "entity_pagerank": pagerank_mod.entity_pagerank,
+        # rows-only production dedup entries (machinery gated by the
+        # in-window *_selfdup/_neardup SQL pairs)
+        "minhash_dedup": dedup.minhash_dedup,
+        "simhash_dedup": dedup.simhash_dedup,
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "embedding_neardup": dedup.embedding_neardup,
+        # HLL vocabulary-size sketch; rows-only (no SQL computes an
+        # HLL), pinned by exact-merge + accuracy-bound pytest oracles
+        # + in-window exact sibling distinct_terms
+        "approx_distinct_tokens": sketches.approx_distinct_tokens,
+        # mergeable-histogram sketch for continuous columns; rows-only
+        # — error-bound + block-split invariance pinned in pytest;
+        # exact in-window siblings are the SQL-gated definition
+        "approx_value_quantiles": quantiles.approx_value_quantiles,
+        "bigram_topk": indexing.bigram_topk,
         "stratified_sample": traindata.stratified_sample,
         "cap_per_group": traindata.cap_per_group,
         # ---- text analysis (SQL-checked) ----
@@ -838,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_born_edges": _BORN_EDGES_SQL,
         "kg_born_edges_emblink": _BORN_EDGES_SQL,
+        "kg_born_edges_joinlink": _BORN_EDGES_SQL,
         "born_entity_pagerank": _born_pagerank_sql(),
         "kg_partitioned_born_edges": _BORN_EDGES_SQL,
         "kg_born_entities": f"""

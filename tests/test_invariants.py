@@ -105,11 +105,14 @@ def test_driver_window_covers_flagship_gates():
     flagship = {
         "kg_born_edges", "kg_partitioned_born_edges", "kg_born_entities",
         "kg_regex_mentions", "kg_gazetteer_mentions", "born_entity_pagerank",
-        "kg_split_docs_jsonl", "inverted_index", "tfidf_top_terms",
-        "bm25_topk", "token_count_quantiles", "asof_last_order",
-        "range_join_windows", "ann_brute_force", "ann_ivf_index",
-        "kmeans_embeddings", "media_metadata", "dedup_incremental",
-        "doc_chain_components", "prepare_training_data",
+        "kg_split_docs_jsonl", "kg_born_edges_joinlink", "inverted_index",
+        "tfidf_top_terms", "bm25_topk", "token_count_quantiles",
+        "asof_last_order", "range_join_windows", "ann_brute_force",
+        "ann_ivf_index", "ann_filtered", "kmeans_embeddings",
+        "media_metadata", "dedup_incremental", "doc_chain_components",
+        "neardup_clusters", "prepare_training_data", "decontaminate",
+        "epoch_shuffle", "vocab_topk", "sample_exact_k",
+        "chunk_documents", "bpe_merges", "pack_chunks",
     }
     missing = flagship - set(window)
     assert not missing, f"flagship gates outside the driver window: {missing}"
@@ -125,6 +128,8 @@ def test_driver_window_covers_flagship_gates():
         "ngram_jaccard_dedup": "ngram_selfdup_pairs",
         "embedding_neardup": "embedding_selfdup_pairs",
         "entity_pagerank": "born_entity_pagerank",
+        "neardup_clusters": "doc_chain_components",
+        "bpe_merges": "vocab_topk",
     }
     for k in window:
         if k in sql:

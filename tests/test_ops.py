@@ -1839,3 +1839,17 @@ def test_cache_dir_keyed_by_abs_path_and_fingerprint(tmp_path):
     st = os.stat(src)
     os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns - 10_000_000_000))
     assert not cache_is_fresh(marker, source_fingerprint(str(src)))
+
+
+def test_kg_born_edges_joinlink_vs_duckdb(con):
+    """The shuffle-join linker (linking.link_triples_via_join, plan B
+    for a broadcast-too-big alias table) through the full born chain:
+    must equal the alias-broadcast oracle edges exactly."""
+    import importlib
+
+    e = importlib.import_module("__ray_entry__")
+    _check(
+        e.queries()["kg_born_edges_joinlink"],
+        e.oracle_sql()["kg_born_edges_joinlink"],
+        con,
+    )
