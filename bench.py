@@ -134,12 +134,15 @@ def _timed(fn, *args) -> float:
     """Best of QUERY_REPS runs: the host carries co-tenant load that
     only ever SLOWS a run (BASELINE.md noise protocol), and the first
     rep doubles as the warm-up for task/actor dispatch — so the min is
-    the honest estimate of the uncontaminated machine. Queries whose
-    best is already over REP_CUTOFF_SEC are not re-run (a second slow
-    pass doubles wall time without changing the story)."""
+    the honest estimate of the uncontaminated machine. The second rep
+    ALWAYS runs: a single cold rep over REP_CUTOFF_SEC would otherwise
+    be recorded as-is, turning one co-tenant burst into a phantom
+    regression (observed round 5: minhash_dedup cold 11.9 s vs warm
+    2.7 s). The cutoff only suppresses reps BEYOND the second, where
+    it bounds wall time for genuinely-slow queries."""
     best = _timed_once(fn, *args)
-    for _ in range(max(1, QUERY_REPS) - 1):
-        if best > REP_CUTOFF_SEC:
+    for i in range(max(1, QUERY_REPS) - 1):
+        if i > 0 and best > REP_CUTOFF_SEC:
             break
         best = min(best, _timed_once(fn, *args))
     return best
@@ -242,6 +245,20 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _warmup_kg():
+    """Untimed session warm-up: run the narrow phase over ONE page
+    shard so the Ray worker pool is spawned and the engine modules are
+    imported in the workers BEFORE the first timed rep. Without this,
+    rep 1 measures session cold start (observed: 13.1 s cold vs 4.2 s
+    warm for an identical pipeline), which contaminates the reported
+    median. Disclosed via "warmup_kg": true in the output."""
+    from transner_ray.pipelines import kg
+
+    paths = _kg_paths()
+    spine = kg.sentences_dataset(kg.read_pages(paths[:1]), detect_batch_size=256)
+    kg.linked_triples_dataset(spine).count()
+
+
 def run_plain() -> dict:
     _init_ray()
     # best-of-N headline: the host carries co-tenant load that only
@@ -249,6 +266,7 @@ def run_plain() -> dict:
     # this sf). The MEDIAN is reported alongside so regression
     # tracking does not depend on the most favorable order statistic,
     # and every rep value is disclosed.
+    _warmup_kg()
     runs = [bench_kg() for _ in range(PLAIN_KG_REPS)]
     kg_stats = min(runs, key=lambda r: r["sec"])
     queries = bench_queries()
@@ -268,6 +286,7 @@ def run_plain() -> dict:
         "wide_sec": round(kg_stats["wide_sec"], 3),
         "kg_all_runs_sec": [round(r["sec"], 3) for r in runs],
         "kg_median_sec": round(_median([r["sec"] for r in runs]), 3),
+        "warmup_kg": True,
     }
     import ray
 
