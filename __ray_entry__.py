@@ -515,6 +515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # bpe_merges, neardup_clusters; out = r04-checked rows-only
     # entries whose SQL siblings stay in-window, plus bigram_topk /
     # entity_pagerank (r04-green, machinery gated by in-window kin).
+    # Late-r5: in = token_counts_bpe (new); out = ann_ivf (driver-green
+    # r01-r04; IVF machinery still gated by ann_ivf_index/ann_filtered).
     return {
         # ---- KG pipeline stages (the north-star; documents-derived
         # variants are SQL-checked, synthetic-pages spine rows-only) ----
@@ -561,10 +563,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_windows": joins.range_join_windows,
         # ---- similarity search ----
         "ann_brute_force": similarity.brute_force_topk,   # SQL-checked
-        # IVF in EXACT mode (nprobe = n_centroids probes every list →
-        # provably equal to brute force → shares its SQL oracle); the
-        # approximate default stays pytest-gated (test_ann_ivf_recall)
-        "ann_ivf": lambda sf: similarity.ivf_topk(sf, nprobe=16),  # SQL-checked
+        # LM-tokenizer pre-token counting (GPT-2-shape regex; exact
+        # RE2 oracle) — new in round 5, so in-window per the rotation
+        # rule; ann_ivf rotated out to past-window (driver-green
+        # r01-r04; its IVF machinery stays gated by ann_ivf_index +
+        # ann_filtered below)
+        "token_counts_bpe": textstats.token_counts_bpe,   # SQL-checked
         # persisted list-partitioned IVF index (build once under /tmp,
         # nprobe pruning AT THE READ); exact mode shares the brute
         # force oracle, approximate recall pytest-gated
@@ -638,6 +642,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- position >50: long-stable rows below this line get
         # their driver verification from CORRECTNESS_r01-r04; the local
         # gate still checks every one of them each session ----------
+        # IVF in EXACT mode (nprobe = n_centroids probes every list →
+        # provably equal to brute force → shares its SQL oracle); the
+        # approximate default stays pytest-gated (test_ann_ivf_recall).
+        # Rotated past-window in r5 (driver-green r01-r04) to make room
+        # for token_counts_bpe; in-window kin: ann_ivf_index, ann_filtered
+        "ann_ivf": lambda sf: similarity.ivf_topk(sf, nprobe=16),  # SQL-checked
         "kg_mentions": lambda sf: kg.mentions_dataset(_kg_spine(sf)),
         "kg_triples": _kg_linked,
         "kg_sentences": _kg_sentences_only,
@@ -803,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE trim(s) != ''
         """,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
+        "token_counts_bpe": textstats.TOKEN_COUNTS_BPE_SQL,
         "quality_signals": textstats.QUALITY_SIGNALS_SQL,
         "fingerprints": textstats.FINGERPRINTS_SQL,
         "language_guess": textstats.LANGUAGE_GUESS_SQL,

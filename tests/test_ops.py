@@ -1853,3 +1853,36 @@ def test_kg_born_edges_joinlink_vs_duckdb(con):
         e.oracle_sql()["kg_born_edges_joinlink"],
         con,
     )
+
+
+def test_token_counts_bpe_vs_duckdb(con):
+    from transner_ray.ops import textstats
+
+    _check(textstats.token_counts_bpe, textstats.TOKEN_COUNTS_BPE_SQL, con)
+
+
+def test_bpe_pretoken_pattern_unicode_parity():
+    """The Python `regex` compile and DuckDB's RE2 must agree token-
+    for-token on unicode-rich text (the synthetic corpus is ASCII, so
+    the driver gate alone would not catch a \\p-class divergence)."""
+    import duckdb
+    import regex
+
+    from transner_ray.ops.textstats import BPE_PRETOKEN_PAT
+
+    pat = regex.compile(BPE_PRETOKEN_PAT)
+    c = duckdb.connect()
+    hard = [
+        "Rossi's è nato — 12,50€ all'alba",
+        "naïve café ½ £3.99!!",
+        "Ünïcødé 汉字 123abc",
+        "tabs\tand\nnewlines  mixed   spaces",
+        "'s leading contraction; trailing apostrophe' end",
+        "",
+        "   ",
+    ]
+    for s in hard:
+        sql_toks = c.execute(
+            "SELECT regexp_extract_all(?, ?)", [s, BPE_PRETOKEN_PAT]
+        ).fetchone()[0]
+        assert pat.findall(s) == sql_toks, s

@@ -43,6 +43,52 @@ SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documen
 """
 
 
+# GPT-2-family pre-tokenizer shape, restricted to constructs BOTH
+# Python's `regex` module and DuckDB's RE2 support identically (no
+# lookahead — RE2 has none — and no case-insensitive contractions):
+# contraction tail, space-prefixed letter run, space-prefixed digit
+# run, space-prefixed punctuation run. Token COUNT under this pattern
+# is the standard cheap proxy for BPE token count (each pre-token maps
+# to >=1 BPE tokens; whitespace disappears into the prefixes).
+BPE_PRETOKEN_PAT = r"'[a-z]+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_counts_bpe(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bpe_pretokens): token count under the BPE-ish
+    pre-tokenizer regex — the \\S+ sibling above counts whitespace
+    words; this one counts LM-tokenizer pre-tokens (punctuation split
+    off, contractions split, digit runs separated). Differentially
+    tested against the DuckDB RE2 oracle on unicode-rich text in
+    pytest; the driver gate checks the full table.
+
+    Requires the `regex` module (RE2-compatible \\p classes); counting
+    is finditer-based (no match-list allocation) with the pattern
+    compiled once per worker process at import."""
+    import regex as _regex_mod
+
+    pat = _regex_mod.compile(BPE_PRETOKEN_PAT)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        counts = [sum(1 for _ in pat.finditer(s)) for s in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "n_bpe_pretokens": pd.Series(counts, dtype="int64").to_numpy(),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+# the pattern's leading '[a-z]+ needs its quote doubled inside the SQL literal
+TOKEN_COUNTS_BPE_SQL = """
+SELECT doc_id,
+       length(regexp_extract_all(text, '''[a-z]+| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+         AS n_bpe_pretokens
+FROM documents
+"""
+
+
 # ------------------------------------------------------- quality signals
 
 def quality_signals(sf_dir: str) -> rd.Dataset:
