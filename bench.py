@@ -75,13 +75,20 @@ def bench_kg() -> dict:
     t0 = time.perf_counter()
     spine = kg.sentences_dataset(kg.read_pages(paths), detect_batch_size=256)
     linked = kg.linked_triples_dataset(spine)
-    # Coalesce AFTER the heavy chain, via repartition — NOT via
-    # write_parquet(min_rows_per_file=...): that constraint fuses into
-    # the upstream operator and collapses the whole narrow phase into a
-    # handful of giant tasks (observed: ONE task for the full corpus).
-    # The wide phase re-reads this, so a few large files beat 100+ tiny
-    # read blocks feeding the shuffle.
-    linked.repartition(16).write_parquet(f"{KG_SCRATCH}/triples")
+    # Write the fused chain's natural block count DIRECTLY. Both
+    # coalescing alternatives measured worse here:
+    # - write_parquet(min_rows_per_file=...) fuses the constraint
+    #   upstream and collapses the narrow phase into a handful of
+    #   giant tasks (observed: ONE task for the full corpus);
+    # - .repartition(16) re-executes the whole fused map chain
+    #   (round-5 ds.stats(): the map operator AND RepartitionSplit
+    #   each report the full ~320 s of UDF time; dropping it cut the
+    #   8-cpu 320k-doc narrow phase 110.6 s -> 43.8 s and the 2-cpu
+    #   leg 338 s -> 183 s).
+    # One ~1.75 MB file per detect task is fine for the wide re-read
+    # (measured: wide over 256 files 11.7 s vs 12.7 s over 16), and
+    # matches run_partitioned's production layout (no repartition).
+    linked.write_parquet(f"{KG_SCRATCH}/triples")
     t_narrow = time.perf_counter() - t0
 
     t1 = time.perf_counter()
@@ -302,7 +309,7 @@ SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "320000"))
 SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "2"))  # measures N vs 4N
 
 
-SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
 
 
 def run_scaling() -> dict:
@@ -373,6 +380,16 @@ def run_scaling() -> dict:
             3,
         ),
         "reps": SCALING_REPS,
+        # adjacent (4N, N) legs share a noise regime; their per-pair
+        # ratios show the spread the best-of-level headline sits in
+        "pair_efficiencies": [
+            round((h["docs_per_sec"] / l["docs_per_sec"]) / 4, 3)
+            for h, l in zip(his, los)
+        ],
+        f"narrow_sec_{SCALING_N}": lo.get("narrow_sec"),
+        f"narrow_sec_{4 * SCALING_N}": hi.get("narrow_sec"),
+        f"wide_sec_{SCALING_N}": lo.get("wide_sec"),
+        f"wide_sec_{4 * SCALING_N}": hi.get("wide_sec"),
         "sf": SF_DIR,
     }
 
@@ -389,6 +406,8 @@ def run_kg_only() -> dict:
         "num_cpus": NUM_CPUS,
         "docs_per_sec": round(kg_stats["docs_per_sec"], 2),
         "triples_per_sec": round(kg_stats["triples_per_sec"], 2),
+        "narrow_sec": round(kg_stats["narrow_sec"], 3),
+        "wide_sec": round(kg_stats["wide_sec"], 3),
     }
     import ray
 
@@ -456,7 +475,7 @@ def run_stats() -> dict:
     # that write_parquet drives
     narrow_out = kg.linked_triples_dataset(
         kg.sentences_dataset(kg.read_pages(paths))
-    ).repartition(16)
+    )
     narrow_out.write_parquet(f"{KG_SCRATCH}/triples")
     narrow_stats = narrow_out.stats()
     triples = rd.read_parquet(f"{KG_SCRATCH}/triples").materialize()

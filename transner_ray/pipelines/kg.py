@@ -195,15 +195,23 @@ def entities_dataset(
     64-bucket floor). Both knobs are SCALED WITH THE TRIPLE COUNT by
     ``run_partitioned`` (which knows the input size from the
     checkpoint parquet footers); callers composing lazily over inputs
-    of unknown size keep the floors. ``settle=True`` additionally
-    materializes the coalesced partials — right when the upstream is
-    parquet-backed; it EXECUTES the upstream at call time, so keep it
-    False in lazy multi-output compositions."""
+    of unknown size keep the floors. ``settle=True`` materializes the
+    partials (BEFORE the coalesce — see the ordering note below) —
+    right when the upstream is parquet-backed; it EXECUTES the
+    upstream at call time, so keep it False in lazy multi-output
+    compositions."""
+    # settle BEFORE the coalesce: non-shuffle repartition re-executes
+    # a lazy upstream chain (round-5 finding — see bench.py narrow
+    # phase), but over materialized blocks it is a cheap re-split of
+    # pinned objects. Order matters: materialize-then-repartition runs
+    # the read+partials map ONCE; the old repartition-then-materialize
+    # ran it twice (a 2x input read at 10^9 triples).
     partials = linked.map_batches(
         make_entity_partials(num_buckets or 64), batch_format="pyarrow"
-    ).repartition(wide_num_blocks)
+    )
     if settle:
         partials = partials.materialize()
+    partials = partials.repartition(wide_num_blocks)
     return partials.groupby("bucket").map_groups(
         reduce_entity_bucket, batch_format="pandas"
     )
@@ -217,11 +225,13 @@ def edges_dataset(
 ) -> rd.Dataset:
     """Edge weights + capped provenance (partitioned hash-aggregate),
     then the one global sort. Parameters as in entities_dataset."""
+    # settle-then-coalesce ordering: see entities_dataset
     partials = linked.map_batches(
         make_edge_partials(num_buckets or 64), batch_format="pyarrow"
-    ).repartition(wide_num_blocks)
+    )
     if settle:
         partials = partials.materialize()
+    partials = partials.repartition(wide_num_blocks)
     return (
         partials.groupby("bucket")
         .map_groups(reduce_edge_bucket, batch_format="pandas")
